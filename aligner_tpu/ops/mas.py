@@ -1,0 +1,142 @@
+"""Monotonic Alignment Search, TPU-native (pure jax.lax formulation).
+
+This is the on-device replacement for the reference Cython kernel
+(monotonic_align/core.pyx:9-45) and its host-round-trip wrapper
+(monotonic_align/__init__.py:6-21). Design (see SURVEY.md §2.2, §7):
+
+* Both DP dependencies of a lattice column live in the previous column, so
+  the sweep is a `lax.scan` over mel frames with the previous cumulative
+  column (a [T_x] vector) as carry — T_y sequential steps of T_x-parallel
+  VPU work, batched with `vmap`.
+* Instead of materialising the cumulative lattice for the backtrack, the
+  forward step emits one *decision bit* per cell:
+      bit[x, y] = (x != 0) & ((x == y) | (cum[x, y-1] < cum[x-1, y-1]))
+  which is literally the reference's backtrack decrement predicate
+  (core.pyx:34) evaluated during the forward pass (both of its operands are
+  forward-step inputs). The backtrack then only walks the bit lattice:
+  path[index, y] = 1; index -= bit[index, y]. Every cell the backtrack
+  visits is inside the forward band, so bits are exact (SURVEY.md §2.2
+  invariants).
+* Tie semantics match the reference exactly: the forward max is tie-free by
+  value equality, and the backtrack bit uses strict `<`, so ties keep the
+  token and transitions happen as early as possible — identical paths.
+* Ragged batches: static padded shapes, per-item (t_x, t_y) as traced
+  scalars; out-of-band lattice cells never influence in-band results (band
+  masking), matching the reference's untouched-memory semantics.
+
+Divergence from the reference: items with t_x > t_y (silent out-of-band
+reads / garbage paths in the reference) return an all-zero path here.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.masks import lengths_from_lattice_mask
+
+MAX_NEG_VAL = -1e9
+
+
+def _forward_bits_single(value, t_x, t_y):
+    """Forward band sweep for one item.
+
+    value: [T_x, T_y] float32 lattice (log-probs).
+    t_x, t_y: scalar int32 true lengths.
+    Returns bits [T_y, T_x] bool — the backtrack decrement predicate per cell.
+    """
+    T_x, T_y = value.shape
+    xs = jnp.arange(T_x, dtype=jnp.int32)
+
+    def step(prev_col, inputs):
+        y, col = inputs
+        # prev_col[x-1]; the x == 0 slot is masked below.
+        prev_shift = jnp.concatenate([prev_col[:1], prev_col[:-1]])
+        v_cur = jnp.where(xs == y, MAX_NEG_VAL, prev_col)
+        v_prev = jnp.where(xs == 0,
+                           jnp.where(y == 0, 0.0, MAX_NEG_VAL),
+                           prev_shift)
+        new = jnp.maximum(v_cur, v_prev) + col
+        in_band = ((xs >= t_x + y - t_y) & (xs < t_x) & (xs <= y)
+                   & (y < t_y))
+        # Out-of-band cells keep the raw column value, mirroring the
+        # reference's in-place, untouched-out-of-band buffer semantics.
+        cum = jnp.where(in_band, new, col)
+        bits = (xs > 0) & ((xs == y) | (prev_col < prev_shift)) & in_band
+        return cum, bits
+
+    ys = jnp.arange(T_y, dtype=jnp.int32)
+    _, bits = jax.lax.scan(step, jnp.zeros((T_x,), value.dtype),
+                           (ys, value.T))
+    return bits
+
+
+def _backtrack_single(bits, t_x, t_y):
+    """Reverse walk over the decision bits for one item.
+
+    bits: [T_y, T_x] bool. Returns path [T_x, T_y] float32 (0/1).
+    """
+    T_y, T_x = bits.shape
+    xs = jnp.arange(T_x, dtype=jnp.int32)
+    valid = (t_x >= 1) & (t_x <= t_y)
+
+    def step(index, inputs):
+        y, bits_col = inputs
+        active = (y < t_y) & valid
+        emit = jnp.where(active, (xs == index).astype(jnp.float32), 0.0)
+        dec = active & bits_col[index]
+        index = index - dec.astype(index.dtype)
+        return index, emit
+
+    ys = jnp.arange(T_y, dtype=jnp.int32)
+    _, rows = jax.lax.scan(step, t_x - 1, (ys, bits), reverse=True)
+    return rows.T  # [T_x, T_y]
+
+
+def _mas_single(value, t_x, t_y):
+    bits = _forward_bits_single(value, t_x, t_y)
+    return _backtrack_single(bits, t_x, t_y)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mas_lax(value, t_x, t_y):
+    """Batched MAS paths via lax.scan.
+
+    value: [B, T_x, T_y] float32; t_x, t_y: [B] int32.
+    Returns float32 0/1 paths [B, T_x, T_y].
+    """
+    return jax.vmap(_mas_single)(value.astype(jnp.float32), t_x, t_y)
+
+
+def maximum_path(value, mask, *, implementation: str = "auto"):
+    """Drop-in MAS API: `maximum_path(value, mask) -> path`.
+
+    Same contract as the reference wrapper (monotonic_align/__init__.py:6-21):
+    value, mask are [b, t_x, t_y]; per-item lengths are derived from the mask
+    (t_x = mask.sum(1)[:, 0], t_y = mask.sum(2)[:, 0]); the returned 0/1 path
+    has the dtype of `value`. Unlike the reference there is no host
+    round-trip — this is jit-compatible and runs fully on device.
+
+    implementation: "auto" | "lax" | "pallas".
+    """
+    value = jnp.asarray(value)
+    mask = jnp.asarray(mask)
+    dtype = value.dtype
+    t_x, t_y = lengths_from_lattice_mask(mask)
+    # The reference multiplies by the mask first (__init__.py:11); in-band
+    # cells are unchanged by it, so this only sanitises padding.
+    v = (value * mask).astype(jnp.float32)
+
+    if implementation == "auto":
+        implementation = ("pallas"
+                          if jax.default_backend() in ("tpu", "axon")
+                          else "lax")
+    if implementation == "pallas":
+        from .mas_pallas import mas_pallas
+        path = mas_pallas(v, t_x, t_y)
+    elif implementation == "lax":
+        path = mas_lax(v, t_x, t_y)
+    else:
+        raise ValueError(f"unknown implementation: {implementation!r}")
+    return path.astype(dtype)

@@ -1,0 +1,193 @@
+"""Pallas TPU kernels for Monotonic Alignment Search.
+
+TPU-native replacement for the reference Cython DP (monotonic_align/
+core.pyx:9-45). Two kernels over a time-major [T_y, B, T_x] layout:
+
+* **Forward sweep** — a sequential grid over mel-frame chunks; the previous
+  cumulative column ([B, T_x] f32) lives in a VMEM scratch that persists
+  across grid steps (TPU grids execute sequentially, so the scratch is the
+  scan carry). Pallas double-buffers the value-chunk DMAs automatically.
+  Each step is a handful of VPU ops on a [B, T_x] tile; instead of writing
+  the cumulative lattice back to HBM, the kernel emits one int8 *decision
+  bit* per cell — the reference's backtrack predicate
+  `(x != 0) & ((x == y) | (cum[x, y-1] < cum[x-1, y-1]))` (core.pyx:34)
+  evaluated inline, since both operands are already in the carry. This cuts
+  HBM traffic 4x vs storing the f32 lattice.
+
+  The reference's reachability band is *not* masked here: in-band cells read
+  only in-band (or special-cased) cells of the previous column, and the
+  backtrack provably never visits an out-of-band cell (index <= y and
+  index >= t_x + y - t_y hold inductively, see SURVEY.md §2.2), so values
+  and bits computed at out-of-band cells are dead. Dropping the band mask
+  removes ~1/3 of the per-step VPU work and all length inputs from the
+  forward kernel while keeping paths bit-identical.
+
+* **Backtrack** — the same grid reversed. The walking token index is a
+  one-hot indicator row ([B, T_x] f32 scratch); `index -= bit[index, y]` is
+  done entirely elementwise, with no cross-lane reduction:
+      emit     = indicator * active          (the path row for frame y)
+      selected = emit * bits_row             (one-hot iff the bit is set)
+      indicator += roll(selected, -1) - selected
+  which keeps the inherently sequential backtrack fully vectorised over the
+  batch with no host involvement.
+
+Lane shifts across token positions use `pltpu.roll` (non-negative shifts
+only, so -1 is expressed as T_x - 1); the x == 0 wraparound slot is always
+masked. Ties match the reference exactly (strict `<` in the bit predicate:
+ties keep the token, transitions happen as early as possible).
+Items with t_x > t_y (reference UB, core.pyx:32-35) return all-zero paths.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_NEG_VAL = -1e9
+
+
+def _forward_kernel(val_ref, bits_ref, carry_ref):
+    chunk = val_ref.shape[0]
+    B, T_x = carry_ref.shape
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    x = jax.lax.broadcasted_iota(jnp.int32, (B, T_x), 1)
+    x_is_0 = x == 0
+    x_gt_0 = x > 0
+
+    def body(j, _):
+        y = i * chunk + j
+        col = val_ref[j]
+        prev = carry_ref[:]
+        prev_shift = pltpu.roll(prev, 1, axis=1)  # prev[x-1]; x==0 masked
+        x_is_y = x == y
+        v_cur = jnp.where(x_is_y, MAX_NEG_VAL, prev)
+        v_prev = jnp.where(x_is_0,
+                           jnp.where(y == 0, 0.0, MAX_NEG_VAL),
+                           prev_shift)
+        carry_ref[:] = jnp.maximum(v_cur, v_prev) + col
+        bits_ref[j] = ((x_is_y | (prev < prev_shift)) & x_gt_0).astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0, unroll=True)
+
+
+def _backtrack_kernel(tx_ref, ty_ref, bits_ref, path_ref, ind_ref):
+    chunk = bits_ref.shape[0]
+    B, T_x = ind_ref.shape
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    tx = tx_ref[:]
+    ty = ty_ref[:]
+    x = jax.lax.broadcasted_iota(jnp.int32, (B, T_x), 1)
+    valid = (tx >= 1) & (tx <= ty)
+    valid_f = valid.astype(jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        ind_ref[:] = (x == tx - 1).astype(jnp.float32)
+
+    base = (n - 1 - i) * chunk
+
+    def body(jj, _):
+        j = chunk - 1 - jj
+        y = base + j
+        ind = ind_ref[:]
+        active = jnp.where(y < ty, valid_f, 0.0)
+        emit = ind * active
+        path_ref[j] = emit.astype(jnp.int8)
+        selected = emit * bits_ref[j].astype(jnp.float32)
+        # index -= 1 as a one-hot lane shift; pltpu.roll requires a
+        # non-negative shift, so roll by T_x - 1 (circularly identical;
+        # selected is zero at x == 0 because forward bits are).
+        ind_ref[:] = ind - selected + pltpu.roll(selected, T_x - 1, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0, unroll=True)
+
+
+def _pick_chunk(T_y: int) -> int:
+    for c in (256, 128, 64, 32, 16, 8):
+        if T_y % c == 0:
+            return c
+    return T_y
+
+
+def mas_pallas_bits(value_tm, *, interpret: bool = False):
+    """Forward sweep only: time-major value [T_y, B, T_x] -> int8 decision
+    bits [T_y, B, T_x]. Length-independent (see module docstring)."""
+    T_y, B, T_x = value_tm.shape
+    chunk = _pick_chunk(T_y)
+    return pl.pallas_call(
+        _forward_kernel,
+        grid=(T_y // chunk,),
+        in_specs=[pl.BlockSpec((chunk, B, T_x), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((chunk, B, T_x), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_y, B, T_x), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((B, T_x), jnp.float32)],
+        interpret=interpret,
+    )(value_tm)
+
+
+def mas_pallas_backtrack(bits, t_x, t_y, *, interpret: bool = False):
+    """Reverse walk: int8 bits [T_y, B, T_x] + lengths -> int8 path
+    [T_y, B, T_x] (time-major)."""
+    T_y, B, T_x = bits.shape
+    chunk = _pick_chunk(T_y)
+    grid = T_y // chunk
+    tx_b = jnp.broadcast_to(t_x.astype(jnp.int32)[:, None], (B, T_x))
+    ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None], (B, T_x))
+    len_spec = pl.BlockSpec((B, T_x), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    rev = lambda i: (grid - 1 - i, 0, 0)
+    return pl.pallas_call(
+        _backtrack_kernel,
+        grid=(grid,),
+        in_specs=[
+            len_spec, len_spec,
+            pl.BlockSpec((chunk, B, T_x), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, B, T_x), rev,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_y, B, T_x), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((B, T_x), jnp.float32)],
+        interpret=interpret,
+    )(tx_b, ty_b, bits)
+
+
+def mas_pallas_tm(value_tm, t_x, t_y, *, interpret: bool = False):
+    """Time-major MAS: value [T_y, B, T_x] f32 -> int8 path [T_y, B, T_x].
+
+    The transpose-free entry point for internal callers whose lattices are
+    naturally mel-major (e.g. the OTA aligner's attention is [B, T_mel,
+    T_text]); the public `maximum_path` wraps this with layout conversion.
+    """
+    bits = mas_pallas_bits(value_tm, interpret=interpret)
+    return mas_pallas_backtrack(bits, t_x, t_y, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None):
+    """Batched MAS paths on TPU via the Pallas column-sweep kernels.
+
+    value: [B, T_x, T_y] float32 (log-prob lattice, padding arbitrary);
+    t_x, t_y: [B] int32 true lengths. Returns float32 0/1 paths,
+    [B, T_x, T_y], bit-identical to the reference Cython backtrack.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    # Time-major layout: dynamic per-frame indexing lands on dim 0, which
+    # has no TPU sublane/lane tiling constraint.
+    vt = jnp.transpose(value.astype(jnp.float32), (2, 0, 1))
+    path_t = mas_pallas_tm(vt, t_x, t_y, interpret=interpret)
+    return jnp.transpose(path_t, (1, 2, 0)).astype(jnp.float32)

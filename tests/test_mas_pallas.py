@@ -1,0 +1,65 @@
+"""Pallas MAS kernel conformance (interpret mode on CPU) vs the oracle.
+
+On-device validation runs in bench.py / the driver; here the same kernel
+code path is exercised with interpret=True (SURVEY.md §5: Pallas grid
+programs validated in interpreter mode against the oracle).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aligner_tpu.ops.mas_pallas import mas_pallas
+from aligner_tpu.ops.mas_reference import mas_single
+
+
+def oracle(value, t_xs, t_ys):
+    out = np.zeros(value.shape, np.int32)
+    for i in range(value.shape[0]):
+        out[i] = mas_single(value[i].astype(np.float32).copy(),
+                            int(t_xs[i]), int(t_ys[i]))
+    return out
+
+
+def run_pallas(value, t_xs, t_ys):
+    out = mas_pallas(jnp.asarray(value), jnp.asarray(t_xs, jnp.int32),
+                     jnp.asarray(t_ys, jnp.int32), interpret=True)
+    return np.asarray(out).astype(np.int32)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_matches_oracle_ragged(seed):
+    rng = np.random.default_rng(seed)
+    B, T_x, T_y = 8, 16, 32
+    value = (rng.standard_normal((B, T_x, T_y)) * 3).astype(np.float32)
+    t_xs = rng.integers(1, T_x + 1, B)
+    t_ys = np.maximum(t_xs, rng.integers(1, T_y + 1, B))
+    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
+                                  oracle(value, t_xs, t_ys))
+
+
+def test_full_lengths_and_ties():
+    B, T_x, T_y = 4, 8, 24
+    value = np.zeros((B, T_x, T_y), np.float32)
+    t_xs = np.array([8, 8, 1, 5])
+    t_ys = np.array([24, 8, 24, 5])
+    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
+                                  oracle(value, t_xs, t_ys))
+
+
+def test_t_x_greater_than_t_y_zero_path():
+    value = np.ones((2, 8, 16), np.float32)
+    got = run_pallas(value, [8, 6], [4, 16])
+    assert got[0].sum() == 0
+    want1 = mas_single(value[1].astype(np.float32).copy(), 6, 16)
+    np.testing.assert_array_equal(got[1], want1)
+
+
+def test_nondivisible_chunk_shapes():
+    """T_y not a multiple of the preferred chunk sizes."""
+    rng = np.random.default_rng(7)
+    B, T_x, T_y = 8, 8, 24  # chunk picker falls back to 8
+    value = (rng.standard_normal((B, T_x, T_y)) * 2).astype(np.float32)
+    t_xs = rng.integers(1, T_x + 1, B)
+    t_ys = np.maximum(t_xs, rng.integers(1, T_y + 1, B))
+    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
+                                  oracle(value, t_xs, t_ys))
