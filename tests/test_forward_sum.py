@@ -1,0 +1,113 @@
+"""Forward-sum loss: brute-force oracle, gradient check, posterior sanity
+(SURVEY.md §4: forward-sum oracle + jax.grad vs finite differences)."""
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aligner_tpu.ops.forward_sum import (alignment_posteriors,
+                                         forward_sum_loss)
+
+
+def brute_force_logmarginal(logp, t_x, t_y):
+    """logp: [T_y, T_x] (frame-major). Sum over all monotonic surjective
+    paths of exp(path score), in log domain."""
+    scores = []
+    for cuts in itertools.combinations(range(1, t_y), t_x - 1):
+        idx = np.zeros(t_y, np.int64)
+        for c in cuts:
+            idx[c:] += 1
+        scores.append(sum(logp[y, idx[y]] for y in range(t_y)))
+    m = max(scores)
+    return m + np.log(sum(np.exp(s - m) for s in scores))
+
+
+@pytest.mark.parametrize("t_x,t_y,seed", [
+    (1, 1, 0), (1, 5, 1), (2, 2, 2), (3, 7, 3), (4, 6, 4), (5, 9, 5),
+])
+def test_loss_matches_brute_force(t_x, t_y, seed):
+    rng = np.random.default_rng(seed)
+    T_x, T_y = 6, 10
+    raw = rng.standard_normal((1, T_y, T_x)).astype(np.float32)
+    logp = jax.nn.log_softmax(jnp.asarray(raw), axis=-1)
+    loss = forward_sum_loss(logp, jnp.array([t_x]), jnp.array([t_y]))
+    want = -brute_force_logmarginal(np.asarray(logp)[0], t_x, t_y)
+    np.testing.assert_allclose(float(loss[0]), want, rtol=1e-5, atol=1e-5)
+
+
+def test_batched_ragged():
+    rng = np.random.default_rng(7)
+    B, T_x, T_y = 5, 6, 11
+    raw = rng.standard_normal((B, T_y, T_x)).astype(np.float32)
+    logp = jax.nn.log_softmax(jnp.asarray(raw), axis=-1)
+    t_xs = np.array([1, 3, 6, 2, 4])
+    t_ys = np.array([4, 7, 11, 2, 4])
+    loss = forward_sum_loss(logp, jnp.asarray(t_xs), jnp.asarray(t_ys))
+    for i in range(B):
+        want = -brute_force_logmarginal(np.asarray(logp)[i],
+                                        int(t_xs[i]), int(t_ys[i]))
+        np.testing.assert_allclose(float(loss[i]), want, rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_gradient_matches_finite_differences():
+    rng = np.random.default_rng(11)
+    B, T_x, T_y = 2, 4, 7
+    raw = jnp.asarray(rng.standard_normal((B, T_y, T_x)).astype(np.float32))
+    t_x = jnp.array([4, 3])
+    t_y = jnp.array([7, 5])
+
+    def f(r):
+        lp = jax.nn.log_softmax(r, axis=-1)
+        return forward_sum_loss(lp, t_x, t_y).sum()
+
+    g = jax.grad(f)(raw)
+    eps = 1e-3
+    rng2 = np.random.default_rng(0)
+    for _ in range(10):
+        b = rng2.integers(B); y = rng2.integers(T_y); x = rng2.integers(T_x)
+        d = np.zeros_like(np.asarray(raw)); d[b, y, x] = eps
+        fd = (float(f(raw + d)) - float(f(raw - d))) / (2 * eps)
+        np.testing.assert_allclose(float(g[b, y, x]), fd, rtol=2e-2,
+                                   atol=2e-3)
+
+
+def test_gradient_is_negative_posterior():
+    """d loss/d logp = -gamma when logp entries are free (no softmax)."""
+    rng = np.random.default_rng(13)
+    B, T_x, T_y = 3, 5, 9
+    logp = jnp.asarray(rng.standard_normal((B, T_y, T_x)).astype(np.float32))
+    t_x = jnp.array([5, 2, 4]); t_y = jnp.array([9, 6, 4])
+    g = jax.grad(lambda lp: forward_sum_loss(lp, t_x, t_y).sum())(logp)
+    gamma, _ = alignment_posteriors(logp, t_x, t_y)
+    np.testing.assert_allclose(np.asarray(g), -np.asarray(gamma),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_posteriors_normalized_over_text():
+    rng = np.random.default_rng(17)
+    B, T_x, T_y = 3, 6, 12
+    logp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((B, T_y, T_x)).astype(np.float32)),
+        axis=-1)
+    t_x = jnp.array([6, 3, 1]); t_y = jnp.array([12, 8, 5])
+    gamma, _ = alignment_posteriors(logp, t_x, t_y)
+    gamma = np.asarray(gamma)
+    for i in range(B):
+        sums = gamma[i, :int(t_y[i])].sum(-1)
+        np.testing.assert_allclose(sums, 1.0, rtol=1e-4, atol=1e-4)
+        assert gamma[i, int(t_y[i]):].sum() == 0
+        assert gamma[i, :, int(t_x[i]):].sum() == 0
+
+
+def test_jit_and_vmap_compatible():
+    rng = np.random.default_rng(19)
+    logp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((2, 8, 4)).astype(np.float32)), -1)
+    t_x = jnp.array([4, 3]); t_y = jnp.array([8, 6])
+    f = jax.jit(forward_sum_loss)
+    np.testing.assert_allclose(np.asarray(f(logp, t_x, t_y)),
+                               np.asarray(forward_sum_loss(logp, t_x, t_y)),
+                               rtol=1e-6)
