@@ -109,6 +109,33 @@ def mas_lax(value, t_x, t_y):
     return jax.vmap(_mas_single)(value.astype(jnp.float32), t_x, t_y)
 
 
+def _resolve_impl(implementation: str) -> str:
+    if implementation == "auto":
+        return ("pallas" if jax.default_backend() in ("tpu", "axon")
+                else "lax")
+    return implementation
+
+
+def mas_path_frame_major(logp, t_x, t_y, *, implementation: str = "auto"):
+    """Hard MAS path in the aligner's native frame-major layout.
+
+    logp: [B, T_y, T_x] log-prob lattice (e.g. log-attention + prior);
+    returns float32 0/1 path [B, T_y, T_x]. On TPU this avoids both
+    layout transposes of the drop-in `maximum_path` API (the Pallas
+    kernels are time-major internally).
+    """
+    impl = _resolve_impl(implementation)
+    if impl == "pallas":
+        from .mas_pallas import mas_pallas_tm
+        path_tm = mas_pallas_tm(
+            jnp.transpose(logp.astype(jnp.float32), (1, 0, 2)), t_x, t_y)
+        return jnp.transpose(path_tm, (1, 0, 2)).astype(jnp.float32)
+    if impl == "lax":
+        path = mas_lax(jnp.transpose(logp, (0, 2, 1)), t_x, t_y)
+        return jnp.transpose(path, (0, 2, 1))
+    raise ValueError(f"unknown implementation: {implementation!r}")
+
+
 def maximum_path(value, mask, *, implementation: str = "auto"):
     """Drop-in MAS API: `maximum_path(value, mask) -> path`.
 
@@ -128,10 +155,7 @@ def maximum_path(value, mask, *, implementation: str = "auto"):
     # cells are unchanged by it, so this only sanitises padding.
     v = (value * mask).astype(jnp.float32)
 
-    if implementation == "auto":
-        implementation = ("pallas"
-                          if jax.default_backend() in ("tpu", "axon")
-                          else "lax")
+    implementation = _resolve_impl(implementation)
     if implementation == "pallas":
         from .mas_pallas import mas_pallas
         path = mas_pallas(v, t_x, t_y)

@@ -1,0 +1,36 @@
+"""Orbax checkpoint / resume for aligner training (SURVEY.md §5).
+
+The reference has no checkpointing (no training loop in-snapshot); the
+TPU framework uses Orbax — the idiomatic JAX checkpointing layer, async-
+and multi-host-capable — to persist the full TrainState.
+"""
+from __future__ import annotations
+
+import os
+
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(directory: str, state, step: int | None = None,
+                    wait: bool = True):
+    """Save a TrainState (or any pytree) under `directory/<step>`."""
+    step = int(state.step) if step is None else step
+    path = os.path.join(os.path.abspath(directory), str(step))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    if wait:
+        ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(directory: str, target, step: int | None = None):
+    """Restore into the structure of `target` (an abstract or concrete
+    TrainState). If step is None, restores the latest."""
+    directory = os.path.abspath(directory)
+    if step is None:
+        steps = [int(d) for d in os.listdir(directory) if d.isdigit()]
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+        step = max(steps)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.join(directory, str(step)), target)

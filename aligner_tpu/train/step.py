@@ -1,0 +1,87 @@
+"""Jitted / sharded training step for the OTA aligner — K8.
+
+The reference has no training loop (SURVEY.md §5: ABSENT); the capability
+contract is BASELINE.json config 5 — MAS inside a jitted train step at
+batch=64, T_mel=2048, no host callback. This module provides that step:
+one XLA program containing encoders, lattice, forward-sum loss (custom
+VJP), Pallas MAS binarisation, bin loss, and the optimizer update.
+
+Multi-chip: `make_train_step(model, mesh=...)` shards the batch over the
+``data`` axis and the encoder channel dims over ``model`` (see
+parallel/mesh.py); XLA inserts the gradient psum and any tensor-parallel
+collectives over ICI.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from ..parallel.mesh import batch_sharding, replicated, shard_params
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_train_state(rng, model, example_batch, learning_rate: float = 1e-4,
+                       weight_decay: float = 1e-6, mesh=None) -> TrainState:
+    params = model.init(rng, example_batch["tokens"], example_batch["mel"],
+                        example_batch["text_lengths"],
+                        example_batch["mel_lengths"])["params"]
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    if mesh is not None:
+        sh = shard_params(state.params, mesh)
+        params = jax.device_put(state.params, sh)
+        opt_state = jax.device_put(
+            state.opt_state,
+            jax.tree.map(lambda _: replicated(mesh), state.opt_state,
+                         is_leaf=lambda x: isinstance(x, jnp.ndarray)))
+        state = state.replace(params=params, opt_state=opt_state)
+    return state
+
+
+def bin_loss_weight(step, start: int = 1000, ramp: int = 10000,
+                    max_weight: float = 1.0):
+    """OTA-style annealing: binarisation loss off until `start`, then
+    linear ramp to `max_weight` over `ramp` steps."""
+    w = (step - start) / ramp
+    return jnp.clip(w, 0.0, 1.0) * max_weight
+
+
+def make_train_step(model, mesh=None, *, bin_start: int = 1000,
+                    bin_ramp: int = 10000, donate: bool = True):
+    """Returns step(state, batch) -> (state, metrics), fully jitted."""
+
+    def step(state: TrainState, batch: dict[str, Any]):
+        def loss_fn(params):
+            out = model.apply({"params": params}, batch["tokens"],
+                              batch["mel"], batch["text_lengths"],
+                              batch["mel_lengths"])
+            w_bin = bin_loss_weight(state.step, bin_start, bin_ramp)
+            loss = out["loss_forward_sum"] + w_bin * out["loss_bin"]
+            return loss, (out, w_bin)
+
+        (loss, (out, w_bin)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {
+            "loss": loss,
+            "loss_forward_sum": out["loss_forward_sum"],
+            "loss_bin": out["loss_bin"],
+            "bin_weight": w_bin,
+            "mean_max_attn": jnp.mean(
+                jnp.max(jnp.exp(out["log_attn"]), axis=-1)),
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(step, donate_argnums=donate_argnums)
+    data = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(None, data),
+                   donate_argnums=donate_argnums)

@@ -1,0 +1,140 @@
+"""OTA aligner model + train step: end-to-end jitted training on CPU,
+sharded training on the 8-device virtual mesh, checkpoint round-trip."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aligner_tpu.models import OTAAligner, OTAConfig
+from aligner_tpu.ops.mel import MelConfig, log_mel_spectrogram
+from aligner_tpu.parallel import make_mesh, shard_params
+from aligner_tpu.train import (create_train_state, make_train_step,
+                               restore_checkpoint, save_checkpoint)
+
+
+def make_batch(B=4, T_x=16, T_y=40, n_mels=80, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "tokens": jnp.asarray(rng.integers(1, 50, (B, T_x)), jnp.int32),
+        "mel": jnp.asarray(rng.standard_normal((B, T_y, n_mels)),
+                           jnp.float32),
+        "text_lengths": jnp.asarray(
+            np.clip(rng.integers(T_x // 2, T_x + 1, B), 1, T_x), jnp.int32),
+        "mel_lengths": jnp.full((B,), T_y, jnp.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_state():
+    model = OTAAligner(OTAConfig(vocab_size=50, dim=32, hidden=48,
+                                 mas_implementation="lax"))
+    batch = make_batch()
+    state = create_train_state(jax.random.PRNGKey(0), model, batch,
+                               learning_rate=1e-3)
+    return model, state, batch
+
+
+def test_forward_outputs(model_and_state):
+    model, state, batch = model_and_state
+    out = model.apply({"params": state.params}, batch["tokens"],
+                      batch["mel"], batch["text_lengths"],
+                      batch["mel_lengths"])
+    B, T_x = batch["tokens"].shape
+    T_y = batch["mel"].shape[1]
+    assert out["log_attn"].shape == (B, T_y, T_x)
+    assert out["hard_path"].shape == (B, T_y, T_x)
+    # hard path: exactly one token per real frame; durations sum to t_y
+    ppf = np.asarray(out["hard_path"].sum(-1))
+    for i in range(B):
+        assert (ppf[i, :int(batch["mel_lengths"][i])] == 1).all()
+    np.testing.assert_array_equal(np.asarray(out["durations"].sum(-1)),
+                                  np.asarray(batch["mel_lengths"]))
+    assert np.isfinite(float(out["loss_forward_sum"]))
+    assert np.isfinite(float(out["loss_bin"]))
+
+
+def test_train_step_improves_loss(model_and_state):
+    model, state, batch = model_and_state
+    step = make_train_step(model, bin_start=-1, bin_ramp=1, donate=False)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_sharded_train_step_on_virtual_mesh():
+    assert len(jax.devices()) == 8, "conftest should give 8 CPU devices"
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = OTAAligner(OTAConfig(vocab_size=50, dim=32, hidden=48,
+                                 mas_implementation="lax"))
+    batch = make_batch(B=8)
+    state = create_train_state(jax.random.PRNGKey(0), model, batch,
+                               learning_rate=1e-3, mesh=mesh)
+    # params actually sharded over the model axis
+    shardings = shard_params(state.params, mesh)
+    kernels = [s for s in jax.tree.leaves(
+        jax.tree.map(lambda s: s.spec, shardings,
+                     is_leaf=lambda x: hasattr(x, "spec")))
+        if "model" in str(s)]
+    assert kernels, "expected at least one model-sharded parameter"
+
+    step = make_train_step(model, mesh=mesh, bin_start=-1, bin_ramp=1,
+                           donate=False)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    # sharded result == unsharded result (same init, same data)
+    state2 = create_train_state(jax.random.PRNGKey(0), model, batch,
+                                learning_rate=1e-3)
+    step2 = make_train_step(model, bin_start=-1, bin_ramp=1, donate=False)
+    l2 = []
+    for _ in range(4):
+        state2, m2 = step2(state2, batch)
+        l2.append(float(m2["loss"]))
+    np.testing.assert_allclose(losses, l2, rtol=2e-4, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path, model_and_state):
+    model, state, batch = model_and_state
+    step = make_train_step(model, donate=False)
+    state, _ = step(state, batch)
+    path = save_checkpoint(str(tmp_path / "ckpt"), state)
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), state)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
+                 state.params, restored.params)
+    assert int(restored.step) == int(state.step)
+
+
+def test_full_wav_to_alignment_pipeline():
+    """BASELINE.json config 3: mel extraction + soft attention + forward
+    sum + hard MAS in one jitted program."""
+    cfg = MelConfig(n_fft=256, hop_length=128, win_length=256)
+    model = OTAAligner(OTAConfig(vocab_size=50, dim=32, hidden=48,
+                                 n_mels=80, mas_implementation="lax"))
+    rng = np.random.default_rng(0)
+    B, T_x = 2, 12
+    wav = jnp.asarray(rng.standard_normal((B, 4096)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(1, 50, (B, T_x)), jnp.int32)
+    t_x = jnp.array([12, 7], jnp.int32)
+
+    @jax.jit
+    def full_step(params, wav):
+        mel = log_mel_spectrogram(wav, cfg)
+        t_y = jnp.full((B,), mel.shape[1], jnp.int32)
+        return OTAAligner(OTAConfig(vocab_size=50, dim=32, hidden=48,
+                                    mas_implementation="lax")).apply(
+            {"params": params}, tokens, mel, t_x, t_y)
+
+    mel = log_mel_spectrogram(wav, cfg)
+    t_y = jnp.full((B,), mel.shape[1], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens, mel, t_x, t_y)["params"]
+    out = full_step(params, wav)
+    assert np.isfinite(float(out["loss_forward_sum"]))
+    assert out["hard_path"].shape[1] == mel.shape[1]
