@@ -1,0 +1,235 @@
+"""MoBoAligner: monotonic boundary search with max-duration constraint — K7.
+
+Reimplements the algorithm of "MoBoAligner: a Neural Alignment Model for
+Non-autoregressive TTS with Monotonic Boundary Search" (arXiv 2005.08528;
+the reference project's MoBoAligner branch is its unofficial
+implementation, README.md:9-13). The defining constraint — and the
+reference README's stated limitation (README.md:13) — is the **maximum
+duration window D**: token i's boundary b_i can lie at most D frames after
+b_{i-1}.
+
+Formulation (log-domain, frames 0..t_y-1, virtual boundary b_{-1} = -1,
+final boundary pinned b_{t_x-1} = t_y - 1):
+
+    transition  log w_i(t' -> t'+d) = e_i(t'+d) - logsumexp_{d'<=D} e_i(t'+d')
+    forward     logB_i(t) = e~_i(t) + logsumexp_{d=1..D} [logB_{i-1}(t-d)
+                                                          - z_i(t-d)]
+    posterior   P(b_i = t | b_last = t_y-1) = exp(logB_i + logbeta_i - total)
+    alignment   gamma[i, t] = F_{i-1}(t-1) - F_i(t-1)   (posterior CDFs)
+
+TPU mapping: unlike MAS/forward-sum (sequential in mel frames), the
+boundary recursion is **sequential in text tokens** (~T_x steps) with
+[B, T_y, D]-parallel work per step — a `lax.scan` over tokens where the
+max-duration window is a static stack of D lane-shifts feeding one
+logsumexp; everything fuses into a single XLA loop on the VPU. The hard
+mode swaps logsumexp for max, records int32 backpointers (the chosen d),
+and backtracks over tokens on device — the same column-sweep-with-banded-
+transitions primitive as the MAS kernel, transposed to the token axis
+(SURVEY.md §2.3 K7).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e15
+
+
+def _shift_stack_back(arr, D):
+    """arr [B, T]: returns [B, T, D] with out[b, t, d-1] = arr[b, t - d]
+    (NEG-padded)."""
+    B, T = arr.shape
+    cols = [jnp.concatenate([jnp.full((B, d + 1), NEG, arr.dtype),
+                             arr[:, :T - d - 1]], axis=1)
+            for d in range(D)]
+    return jnp.stack(cols, axis=-1)
+
+
+def _shift_stack_fwd(arr, D):
+    """arr [B, T]: returns [B, T, D] with out[b, t, d-1] = arr[b, t + d]
+    (NEG-padded)."""
+    B, T = arr.shape
+    cols = [jnp.concatenate([arr[:, d + 1:],
+                             jnp.full((B, d + 1), NEG, arr.dtype)], axis=1)
+            for d in range(D)]
+    return jnp.stack(cols, axis=-1)
+
+
+def _window_normalizer(e_row, D):
+    """z(t') = logsumexp_{d=1..D} e(t' + d); e_row [B, T_y+1] on the
+    shifted grid (position 0 = virtual frame -1)."""
+    stack = _shift_stack_fwd(e_row, D)
+    return jax.nn.logsumexp(stack, axis=-1)
+
+
+def _prep_energies(energies, t_x, t_y):
+    """energies [B, T_y, T_x] -> token-major [T_x, B, T_y+1] with padding
+    masked to NEG and a NEG column prepended (virtual frame -1 slot)."""
+    B, T_y, T_x = energies.shape
+    ys = jnp.arange(T_y, dtype=jnp.int32)
+    e = jnp.where(ys[None, :, None] < t_y[:, None, None],
+                  energies.astype(jnp.float32), NEG)
+    e = jnp.moveaxis(e, 2, 0)  # [T_x, B, T_y]
+    pad = jnp.full((T_x, B, 1), NEG, jnp.float32)
+    return jnp.concatenate([pad, e], axis=2)  # [T_x, B, T_y+1]
+
+
+def _boundary_scan(e_tm, t_x, t_y, D, use_max: bool):
+    """Forward boundary recursion.
+
+    e_tm: [T_x, B, T_y1] token-major padded energies (T_y1 = T_y + 1,
+    position 0 = virtual frame -1). Returns (logB stack [T_x, B, T_y1],
+    backpointers [T_x, B, T_y1] int32 with the chosen d, only meaningful
+    when use_max).
+    """
+    T_x, B, T_y1 = e_tm.shape
+    init = jnp.full((B, T_y1), NEG, jnp.float32).at[:, 0].set(0.0)
+
+    def step(carry, inputs):
+        i, e_i = inputs
+        z = _window_normalizer(e_i, D)
+        # A(t') = logB_{i-1}(t') - z(t'); guard fully-dead windows.
+        a = jnp.where(z > 0.5 * NEG, carry - z, NEG)
+        stack = _shift_stack_back(a, D)          # [B, T_y1, D]
+        if use_max:
+            inner = jnp.max(stack, axis=-1)
+            bp = jnp.argmax(stack, axis=-1).astype(jnp.int32) + 1
+        else:
+            inner = jax.nn.logsumexp(stack, axis=-1)
+            bp = jnp.zeros((B, T_y1), jnp.int32)
+        new = e_i + inner
+        new = jnp.where(new > 0.5 * NEG, new, NEG)
+        # Ragged freeze: items with i >= t_x keep logB_{t_x-1}.
+        new = jnp.where(i < t_x[:, None], new, carry)
+        return new, (new, bp)
+
+    xs = jnp.arange(T_x, dtype=jnp.int32)
+    _, (logB, bps) = jax.lax.scan(step, init, (xs, e_tm))
+    return logB, bps
+
+
+def _total_from_logB(logB_stack, t_x, t_y):
+    """log P(b_{t_x-1} = t_y-1): gather the frozen final carry at the
+    shifted end position t_y."""
+    T_x, B, T_y1 = logB_stack.shape
+    final = logB_stack[-1]  # [B, T_y1] (frozen at token t_x-1)
+    pos = jnp.arange(T_y1, dtype=jnp.int32)
+    onehot = (pos[None, :] == t_y[:, None]).astype(final.dtype)
+    return jnp.sum(final * onehot, axis=1)
+
+
+def _beta_scan(e_tm, t_x, t_y, D):
+    """Backward recursion: logbeta_i(t) = logsumexp_d [e_{i+1}(t+d)
+    - z_{i+1}(t) + logbeta_{i+1}(t+d)]; init at the pinned final boundary."""
+    T_x, B, T_y1 = e_tm.shape
+    pos = jnp.arange(T_y1, dtype=jnp.int32)
+    end_row = jnp.where(pos[None, :] == t_y[:, None], 0.0, NEG)
+
+    def step(nxt, inputs):
+        i, e_next = inputs  # e_next = e_{i+1}
+        z_next = _window_normalizer(e_next, D)
+        msg = _shift_stack_fwd(
+            jnp.where(e_next > 0.5 * NEG, e_next, NEG) + nxt, D)
+        inner = jax.nn.logsumexp(msg, axis=-1)
+        beta = jnp.where(z_next > 0.5 * NEG, inner - z_next, NEG)
+        # i == t_x - 1: this is the last real token -> pinned boundary.
+        beta = jnp.where(i == t_x[:, None] - 1, end_row, beta)
+        # i >= t_x: dead tokens, pass through.
+        beta = jnp.where(i < t_x[:, None], beta, nxt)
+        return beta, beta
+
+    xs = jnp.arange(T_x, dtype=jnp.int32)
+    e_next = jnp.concatenate(
+        [e_tm[1:], jnp.full((1, B, T_y1), NEG, jnp.float32)], axis=0)
+    init = jnp.full((B, T_y1), NEG, jnp.float32)
+    _, betas = jax.lax.scan(step, init, (xs, e_next), reverse=True)
+    return betas
+
+
+def mobo_forward(energies, t_x, t_y, max_duration: int):
+    """Soft MoBo alignment (differentiable).
+
+    energies: [B, T_y, T_x] (frame-major, matching the OTA layout);
+    t_x, t_y: [B] int32; max_duration: static window D >= 1.
+    Requires t_y <= t_x * D (otherwise that item's likelihood is -inf).
+
+    Returns dict:
+      loss            [B]  — negative log P(final boundary at t_y - 1)
+      log_boundaries  [B, T_x, T_y] — posterior log P(b_i = t)
+      soft_alignment  [B, T_y, T_x] — gamma, P(token i active at frame t)
+      expected_durations [B, T_x]
+    """
+    B, T_y, T_x = energies.shape
+    T_y1 = T_y + 1
+    e_tm = _prep_energies(energies, t_x, t_y)
+    logB, _ = _boundary_scan(e_tm, t_x, t_y, max_duration, use_max=False)
+    total = _total_from_logB(logB, t_x, t_y)
+    betas = _beta_scan(e_tm, t_x, t_y, max_duration)
+
+    # Posterior boundary marginals on the shifted grid.
+    log_post = logB + betas - total[None, :, None]
+    xs = jnp.arange(T_x, dtype=jnp.int32)
+    live = (xs[:, None, None] < t_x[None, :, None])
+    post = jnp.where(live, jnp.exp(log_post), 0.0)   # [T_x, B, T_y1]
+
+    # CDFs F_i(t) = P(b_i <= t) on the shifted grid; F_{-1} = 1 everywhere.
+    F = jnp.cumsum(post, axis=2)
+    F_prev = jnp.concatenate([jnp.ones((1, B, T_y1), F.dtype), F[:-1]],
+                             axis=0)
+    # For dead tokens i >= t_x the pass-through carry makes F == F_prev,
+    # so gamma vanishes there automatically.
+    gamma = F_prev - F                                # P(b_{i-1} <= t < b_i)
+    gamma = jnp.clip(gamma[:, :, :-1], 0.0, 1.0)      # drop shifted tail,
+    # gamma[i, b, t] on frame grid: P(b_{i-1} <= t-1) - P(b_i <= t-1)
+    ys = jnp.arange(T_y, dtype=jnp.int32)
+    gamma = jnp.where(ys[None, None, :] < t_y[None, :, None], gamma, 0.0)
+
+    soft_alignment = jnp.moveaxis(gamma, 0, 2)        # [B, T_y, T_x]
+    expected_durations = jnp.sum(gamma, axis=2).T     # [B, T_x]
+    log_boundaries = jnp.moveaxis(log_post[:, :, 1:], 1, 0)  # [B,T_x,T_y]
+    return {
+        "loss": -total,
+        "log_boundaries": log_boundaries,
+        "soft_alignment": soft_alignment,
+        "expected_durations": expected_durations,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("max_duration",))
+def mobo_hard_boundaries(energies, t_x, t_y, max_duration: int):
+    """Viterbi mode: most-likely boundary sequence under the same
+    max-duration-constrained model. Returns (durations [B, T_x] int32,
+    path [B, T_y, T_x] float32 0/1)."""
+    B, T_y, T_x = energies.shape
+    e_tm = _prep_energies(energies, t_x, t_y)
+    _, bps = _boundary_scan(e_tm, t_x, t_y, max_duration, use_max=True)
+
+    def backtrack(bps_i, t_x_i, t_y_i):
+        # walk tokens i = T_x-1 .. 0; position on shifted grid.
+        def step(pos, inputs):
+            i, bp_row = inputs
+            live = i < t_x_i
+            d = jnp.where(live, bp_row[pos], 0)
+            return pos - d, d
+
+        xs = jnp.arange(T_x, dtype=jnp.int32)
+        _, durs = jax.lax.scan(step, t_y_i, (xs, bps_i), reverse=True)
+        return durs
+
+    durations = jax.vmap(backtrack)(jnp.moveaxis(bps, 0, 1), t_x, t_y)
+    # Path matrix from durations: token i covers frames
+    # [cum_{i-1}, cum_i) -- build with cumsum + comparisons.
+    cum = jnp.cumsum(durations, axis=1)               # [B, T_x]
+    start = cum - durations
+    ys = jnp.arange(T_y, dtype=jnp.int32)[None, :, None]
+    path = ((ys >= start[:, None, :]) & (ys < cum[:, None, :])
+            & (ys < t_y[:, None, None]))
+    return durations, path.astype(jnp.float32)
+
+
+def mobo_loss(energies, t_x, t_y, max_duration: int):
+    """Convenience: mean per-frame MoBo NLL (differentiable)."""
+    out = mobo_forward(energies, t_x, t_y, max_duration)
+    return jnp.mean(out["loss"] / jnp.maximum(t_y, 1))

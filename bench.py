@@ -1,0 +1,118 @@
+"""Headline benchmark: batched MAS paths/sec/chip (T_text=128, T_mel=1024).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "paths/s", "vs_baseline": N / 2110}
+
+Baseline (BASELINE.md): reference Cython kernel, 1 x86 core, B=32,
+t_x=128, t_y=1024 -> ~2110 paths/s (15.2 ms/batch).
+
+Timing methodology: host-side timing through the axon tunnel is
+unreliable (sync adds ~27 ms of tunnel latency; async completion can be
+under-reported), so we read device-side kernel durations from a
+jax.profiler trace and sum every TPU op in the jitted MAS program. Falls
+back to slope-of-N-enqueued-calls wall timing if no trace is produced.
+"""
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_PATHS_PER_SEC = 2110.0
+B, T_X, T_Y = 32, 128, 1024
+
+
+def device_time_from_trace(trace_dir: str, name_prefix: str):
+    """Mean per-call device time (s) of the jit program `name_prefix`."""
+    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        return None
+    with gzip.open(sorted(files)[-1]) as f:
+        data = json.load(f)
+    ev = data.get("traceEvents", [])
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    durs = collections.defaultdict(list)
+    for e in ev:
+        if (e.get("ph") == "X" and "dur" in e
+                and "TPU" in pids.get(e["pid"], "")):
+            durs[e["name"]].append(e["dur"])
+    cands = [ds for n, ds in durs.items() if n.startswith(name_prefix)]
+    if not cands:
+        return None
+    ds = max(cands, key=len)
+    return float(np.mean(ds)) / 1e6
+
+
+def main():
+    from aligner_tpu.ops.mas_pallas import mas_pallas
+
+    rng = np.random.default_rng(0)
+    value = jnp.asarray(
+        (rng.standard_normal((B, T_X, T_Y)) * 3).astype(np.float32))
+    t_x = jnp.asarray(rng.integers(64, T_X + 1, B).astype(np.int32))
+    t_y = jnp.asarray(
+        np.maximum(np.asarray(t_x), rng.integers(256, T_Y + 1, B))
+        .astype(np.int32))
+
+    # correctness gate: bit-identical to the reference oracle
+    from aligner_tpu.ops.mas_reference import mas_single
+    out = np.asarray(mas_pallas(value, t_x, t_y)).astype(np.int32)
+    want = np.stack([
+        mas_single(np.asarray(value)[i].copy(), int(t_x[i]), int(t_y[i]))
+        for i in range(B)])
+    if not np.array_equal(out, want):
+        print(json.dumps({"metric": "mas_paths_per_sec_per_chip",
+                          "value": 0.0, "unit": "paths/s",
+                          "vs_baseline": 0.0,
+                          "error": "paths not bit-identical"}))
+        sys.exit(1)
+
+    jax.block_until_ready(mas_pallas(value, t_x, t_y))  # warm compile
+
+    trace_dir = tempfile.mkdtemp(prefix="mas_bench_")
+    n_iters = 50
+    with jax.profiler.trace(trace_dir):
+        o = None
+        for _ in range(n_iters):
+            o = mas_pallas(value, t_x, t_y)
+        jax.block_until_ready(o)
+
+    per_call = device_time_from_trace(trace_dir, "jit_mas_pallas")
+    method = "device_profiler"
+    if per_call is None:
+        # fallback: slope of enqueued calls
+        def total(n):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(n):
+                o = mas_pallas(value, t_x, t_y)
+            jax.block_until_ready(o)
+            return time.perf_counter() - t0
+        t10, t210 = total(10), total(210)
+        per_call = max((t210 - t10) / 200, 1e-9)
+        method = "wall_slope"
+
+    paths_per_sec = B / per_call
+    print(json.dumps({
+        "metric": "mas_paths_per_sec_per_chip",
+        "value": round(paths_per_sec, 1),
+        "unit": "paths/s",
+        "vs_baseline": round(paths_per_sec / BASELINE_PATHS_PER_SEC, 2),
+        "p50_align_step_ms": round(per_call * 1e3, 4),
+        "config": f"B={B},T_text={T_X},T_mel={T_Y},ragged",
+        "timing_method": method,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""MoBoAligner boundary search vs brute-force enumeration."""
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aligner_tpu.ops.mobo import (mobo_forward, mobo_hard_boundaries,
+                                  mobo_loss)
+
+
+def enumerate_boundaries(t_x, t_y, D):
+    """All valid boundary tuples (b_0 < ... < b_{t_x-1} = t_y-1) with
+    b_{-1} = -1 and b_i - b_{i-1} <= D."""
+    seqs = []
+    for mids in itertools.combinations(range(t_y - 1), t_x - 1):
+        b = list(mids) + [t_y - 1]
+        prev = -1
+        ok = True
+        for x in b:
+            if x - prev > D or x - prev < 1:
+                ok = False
+                break
+            prev = x
+        if ok:
+            seqs.append(tuple(b))
+    return seqs
+
+
+def brute_force(e, t_x, t_y, D):
+    """e: [T_y, T_x] frame-major energies. Returns (log total,
+    boundary posteriors dict, best seq)."""
+    def log_w(i, t_prev, t):
+        window = [e[t_prev + d, i] for d in range(1, D + 1)
+                  if t_prev + d < t_y]
+        z = np.logaddexp.reduce(window)
+        return e[t, i] - z
+
+    seqs = enumerate_boundaries(t_x, t_y, D)
+    assert seqs, "no valid boundary sequence for this shape"
+    scores = []
+    for b in seqs:
+        prev = -1
+        s = 0.0
+        for i, t in enumerate(b):
+            s += log_w(i, prev, t)
+            prev = t
+        scores.append(s)
+    total = np.logaddexp.reduce(scores)
+    post = {}
+    for b, s in zip(seqs, scores):
+        for i, t in enumerate(b):
+            post[(i, t)] = np.logaddexp(post.get((i, t), -np.inf),
+                                        s - total)
+    best = seqs[int(np.argmax(scores))]
+    return total, post, best
+
+
+@pytest.mark.parametrize("t_x,t_y,D,seed", [
+    (1, 1, 2, 0), (1, 3, 4, 1), (2, 4, 3, 2), (3, 6, 3, 3),
+    (4, 8, 4, 4), (5, 7, 2, 5),
+])
+def test_loss_and_posteriors_match_brute_force(t_x, t_y, D, seed):
+    rng = np.random.default_rng(seed)
+    T_x, T_y = 6, 9
+    e = rng.standard_normal((1, T_y, T_x)).astype(np.float32)
+    out = mobo_forward(jnp.asarray(e), jnp.array([t_x]), jnp.array([t_y]), D)
+    total, post, _ = brute_force(e[0], t_x, t_y, D)
+    np.testing.assert_allclose(float(out["loss"][0]), -total, rtol=1e-4,
+                               atol=1e-4)
+    lb = np.asarray(out["log_boundaries"])[0]
+    for (i, t), lp in post.items():
+        np.testing.assert_allclose(lb[i, t], lp, rtol=1e-3, atol=1e-3)
+
+
+def test_soft_alignment_properties():
+    rng = np.random.default_rng(7)
+    B, T_x, T_y, D = 3, 6, 12, 4
+    e = rng.standard_normal((B, T_y, T_x)).astype(np.float32)
+    t_xs = np.array([6, 4, 3]); t_ys = np.array([12, 9, 6])
+    out = mobo_forward(jnp.asarray(e), jnp.asarray(t_xs),
+                       jnp.asarray(t_ys), D)
+    g = np.asarray(out["soft_alignment"])
+    for b in range(B):
+        # each real frame fully assigned across tokens
+        np.testing.assert_allclose(g[b, :t_ys[b]].sum(-1), 1.0, atol=1e-4)
+        assert g[b, t_ys[b]:].sum() == 0
+        assert g[b, :, t_xs[b]:].sum() == 0
+        np.testing.assert_allclose(
+            np.asarray(out["expected_durations"])[b, :t_xs[b]].sum(),
+            t_ys[b], rtol=1e-4)
+
+
+def test_hard_boundaries_match_brute_force():
+    rng = np.random.default_rng(11)
+    t_x, t_y, D = 4, 9, 4
+    e = rng.standard_normal((1, 9, 6)).astype(np.float32)
+    durs, path = mobo_hard_boundaries(jnp.asarray(e), jnp.array([t_x]),
+                                      jnp.array([t_y]), D)
+    _, _, best = brute_force(e[0], t_x, t_y, D)
+    want_durs = np.diff([-1] + list(best))
+    np.testing.assert_array_equal(np.asarray(durs)[0, :t_x], want_durs)
+    # path consistency
+    p = np.asarray(path)[0]
+    np.testing.assert_allclose(p[:t_y].sum(-1), 1.0)
+    np.testing.assert_array_equal(p.sum(0)[:t_x], want_durs)
+
+
+def test_max_duration_constraint_respected():
+    """With D=2 and t_y = 2 * t_x, every duration must be <= 2."""
+    rng = np.random.default_rng(13)
+    B, t_x, D = 4, 5, 2
+    t_y = 10
+    e = rng.standard_normal((B, t_y, t_x)).astype(np.float32) * 3
+    durs, _ = mobo_hard_boundaries(jnp.asarray(e),
+                                   jnp.full((B,), t_x),
+                                   jnp.full((B,), t_y), D)
+    d = np.asarray(durs)
+    assert (d >= 1).all() and (d <= D).all()
+    assert (d.sum(1) == t_y).all()
+
+
+def test_differentiable_and_trains():
+    rng = np.random.default_rng(17)
+    B, T_x, T_y, D = 2, 5, 12, 5
+    e = jnp.asarray(rng.standard_normal((B, T_y, T_x)).astype(np.float32))
+    t_x = jnp.array([5, 4]); t_y = jnp.array([12, 8])
+
+    loss_fn = jax.jit(lambda e: mobo_loss(e, t_x, t_y, D))
+    g = jax.grad(loss_fn)(e)
+    assert np.isfinite(np.asarray(g)).all()
+    # finite differences on a few coords
+    eps = 1e-3
+    rng2 = np.random.default_rng(0)
+    for _ in range(6):
+        b = rng2.integers(B); y = rng2.integers(12); x = rng2.integers(T_x)
+        d = np.zeros_like(np.asarray(e)); d[b, y, x] = eps
+        fd = (float(loss_fn(e + d)) - float(loss_fn(e - d))) / (2 * eps)
+        np.testing.assert_allclose(float(g[b, y, x]), fd, rtol=5e-2,
+                                   atol=5e-4)
+    # GD reduces the loss
+    et = e
+    l0 = float(loss_fn(et))
+    for _ in range(50):
+        et = et - 0.5 * jax.grad(loss_fn)(et)
+    assert float(loss_fn(et)) < l0
