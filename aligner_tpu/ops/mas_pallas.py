@@ -114,18 +114,21 @@ def _backtrack_kernel(tx_ref, ty_ref, bits_ref, path_ref, ind_ref):
     jax.lax.fori_loop(0, chunk, body, 0, unroll=True)
 
 
-def _pick_chunk(T_y: int) -> int:
+def _pick_chunk(T_y: int, B: int = 32, T_x: int = 128,
+                budget_bytes: int = 4 * 1024 * 1024) -> int:
+    """Largest frame-chunk whose double-buffered f32 block fits the VMEM
+    budget (Pallas keeps 2 in-flight input blocks plus the int8 output)."""
     for c in (256, 128, 64, 32, 16, 8):
-        if T_y % c == 0:
+        if T_y % c == 0 and 2 * c * B * T_x * 4 <= budget_bytes:
             return c
-    return T_y
+    return min(T_y, 8) if T_y % 8 == 0 else T_y
 
 
 def mas_pallas_bits(value_tm, *, interpret: bool = False):
     """Forward sweep only: time-major value [T_y, B, T_x] -> int8 decision
     bits [T_y, B, T_x]. Length-independent (see module docstring)."""
     T_y, B, T_x = value_tm.shape
-    chunk = _pick_chunk(T_y)
+    chunk = _pick_chunk(T_y, B, T_x)
     return pl.pallas_call(
         _forward_kernel,
         grid=(T_y // chunk,),
@@ -143,7 +146,7 @@ def mas_pallas_backtrack(bits, t_x, t_y, *, interpret: bool = False):
     """Reverse walk: int8 bits [T_y, B, T_x] + lengths -> int8 path
     [T_y, B, T_x] (time-major)."""
     T_y, B, T_x = bits.shape
-    chunk = _pick_chunk(T_y)
+    chunk = _pick_chunk(T_y, B, T_x)
     grid = T_y // chunk
     tx_b = jnp.broadcast_to(t_x.astype(jnp.int32)[:, None], (B, T_x))
     ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None], (B, T_x))
