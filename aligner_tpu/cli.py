@@ -1,0 +1,174 @@
+"""Command-line interface: demo training runs and the MAS micro-bench.
+
+    python -m aligner_tpu demo-ota   [--steps N] [--batch-size B] ...
+    python -m aligner_tpu demo-mobo  [--steps N] [--max-duration D] ...
+    python -m aligner_tpu bench-mas  [--batch B --t-text X --t-mel Y]
+
+The demos train on the synthetic corpus (known ground-truth durations) and
+report duration accuracy at the end — an end-to-end smoke of the full
+framework on whatever backend JAX selects (TPU when available).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def _common(p):
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--utterances", type=int, default=64)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def build_parser():
+    ap = argparse.ArgumentParser("aligner_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("demo-ota", help="train the OTA aligner on the "
+                                        "synthetic corpus")
+    _common(p)
+    p.add_argument("--temperature", type=float, default=0.05)
+    p = sub.add_parser("demo-mobo", help="train the MoBo aligner "
+                                         "(reconstruction objective)")
+    _common(p)
+    p.add_argument("--max-duration", type=int, default=10)
+    p = sub.add_parser("bench-mas", help="single-chip MAS micro-benchmark")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--t-text", type=int, default=128)
+    p.add_argument("--t-mel", type=int, default=1024)
+    return ap
+
+
+def _corpus_batches(args, max_tokens=24, max_dur=7):
+    from .data import SyntheticConfig, bucket_batches, make_corpus
+    cfg = SyntheticConfig(seed=args.seed, max_tokens=max_tokens,
+                          max_duration=max_dur)
+    corpus = make_corpus(args.utterances, cfg)
+    batches = list(bucket_batches(corpus, args.batch_size,
+                                  shuffle_seed=args.seed))
+    return cfg, corpus, batches
+
+
+def cmd_demo_ota(args):
+    import jax.numpy as jnp
+
+    from .data import duration_accuracy
+    from .models import OTAAligner, OTAConfig
+    from .train.loop import train_aligner
+
+    cfg, corpus, batches = _corpus_batches(args)
+    model = OTAAligner(OTAConfig(vocab_size=cfg.vocab_size, dim=96,
+                                 hidden=128, temperature=args.temperature))
+    state, _ = train_aligner(model, batches, steps=args.steps,
+                             learning_rate=args.lr, bin_start=args.steps // 6,
+                             bin_ramp=args.steps // 3,
+                             checkpoint_dir=args.checkpoint_dir)
+    # evaluate duration accuracy on the first batch's items
+    b = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    out = model.apply({"params": state.params}, b["tokens"], b["mel"],
+                      b["text_lengths"], b["mel_lengths"])
+    accs = []
+    for i in range(min(8, b["tokens"].shape[0])):
+        item = _match_item(corpus, np.asarray(b["tokens"][i]),
+                           int(b["text_lengths"][i]))
+        if item is not None:
+            accs.append(duration_accuracy(
+                np.asarray(out["durations"][i]), item))
+    if accs:
+        print(json.dumps({
+            "demo": "ota",
+            "duration_exact": round(float(np.mean([a["exact"] for a in accs])), 3),
+            "duration_mae": round(float(np.mean([a["mae"] for a in accs])), 3),
+        }))
+
+
+def _match_item(corpus, tokens, t_x):
+    for item in corpus:
+        if len(item["tokens"]) == t_x and \
+                (item["tokens"] == tokens[:t_x]).all():
+            return item
+    return None
+
+
+def cmd_demo_mobo(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .data import SyntheticConfig, duration_accuracy, make_corpus, \
+        pad_batch
+    from .models import MoBoAligner, MoBoConfig
+
+    cfg = SyntheticConfig(seed=args.seed, max_tokens=16,
+                          max_duration=min(7, args.max_duration - 1))
+    corpus = make_corpus(args.batch_size, cfg)
+    batch = pad_batch(corpus)
+    b = {k: jnp.asarray(v) for k, v in batch.items()}
+    protos = jnp.asarray(
+        np.random.default_rng(cfg.seed).standard_normal(
+            (cfg.vocab_size, cfg.n_mels)).astype(np.float32))
+
+    model = MoBoAligner(MoBoConfig(vocab_size=cfg.vocab_size, dim=64,
+                                   hidden=96,
+                                   max_duration=args.max_duration))
+    params = model.init(jax.random.PRNGKey(0), b["tokens"], b["mel"],
+                        b["text_lengths"], b["mel_lengths"])["params"]
+    tx = optax.adam(args.lr * 3)
+    opt = tx.init(params)
+    T_y = b["mel"].shape[1]
+
+    @jax.jit
+    def train1(params, opt):
+        def loss_fn(p):
+            out = model.apply({"params": p}, b["tokens"], b["mel"],
+                              b["text_lengths"], b["mel_lengths"],
+                              compute_hard=False)
+            tok_feats = protos[b["tokens"]]
+            recon = jnp.einsum("byx,bxd->byd", out["soft_alignment"],
+                               tok_feats)
+            mask = (jnp.arange(T_y)[None, :, None]
+                    < b["mel_lengths"][:, None, None])
+            rec = (jnp.sum(jnp.where(mask, (recon - b["mel"]) ** 2, 0.0))
+                   / mask.sum() / cfg.n_mels)
+            return rec + 0.1 * out["loss_mobo"]
+        l, g = jax.value_and_grad(loss_fn)(params)
+        u, opt = tx.update(g, opt)
+        return optax.apply_updates(params, u), opt, l
+
+    for i in range(args.steps):
+        params, opt, l = train1(params, opt)
+        if i % 100 == 0:
+            print(f"step {i:5d}  recon+nll {float(l):.4f}")
+    out = model.apply({"params": params}, b["tokens"], b["mel"],
+                      b["text_lengths"], b["mel_lengths"])
+    accs = [duration_accuracy(np.asarray(out["hard_durations"][i]),
+                              corpus[i]) for i in range(len(corpus))]
+    print(json.dumps({
+        "demo": "mobo",
+        "duration_exact": round(float(np.mean([a["exact"] for a in accs])), 3),
+        "duration_mae": round(float(np.mean([a["mae"] for a in accs])), 3),
+    }))
+
+
+def cmd_bench_mas(args):
+    import bench  # repo-root bench.py
+    bench.B, bench.T_X, bench.T_Y = args.batch, args.t_text, args.t_mel
+    bench.main()
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cmd == "demo-ota":
+        cmd_demo_ota(args)
+    elif args.cmd == "demo-mobo":
+        cmd_demo_mobo(args)
+    elif args.cmd == "bench-mas":
+        cmd_bench_mas(args)
+
+
+if __name__ == "__main__":
+    main()
