@@ -1,0 +1,73 @@
+"""Data batching, synthetic corpus, duration utilities."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from aligner_tpu.data import (BucketSpec, SyntheticConfig, bucket_batches,
+                              duration_accuracy, make_corpus, pad_batch)
+from aligner_tpu.ops.durations import (duration_loss, durations_from_path,
+                                       path_from_durations, selected_loglik)
+
+
+def test_bucket_spec():
+    spec = BucketSpec()
+    assert spec.bucket_for(10, 100) == (32, 256)
+    assert spec.bucket_for(33, 1025) == (64, 1536)
+    assert spec.bucket_for(200, 3000) == (200, 3000)  # beyond buckets
+
+
+def test_pad_batch_and_bucketing():
+    corpus = make_corpus(17, SyntheticConfig(max_tokens=20, seed=3))
+    batches = list(bucket_batches(corpus, batch_size=4, shuffle_seed=0))
+    total = sum(b["tokens"].shape[0] for b in batches)
+    assert total == 17
+    for b in batches:
+        B, T_x = b["tokens"].shape
+        assert b["mel"].shape[0] == B
+        assert (b["text_lengths"] <= T_x).all()
+        assert (b["mel_lengths"] <= b["mel"].shape[1]).all()
+        # padding zeroed
+        for i in range(B):
+            assert (b["tokens"][i, b["text_lengths"][i]:] == 0).all()
+
+
+def test_corpus_ground_truth_consistent():
+    corpus = make_corpus(5, SyntheticConfig(seed=1))
+    for item in corpus:
+        assert item["durations"].sum() == item["mel"].shape[0]
+        assert len(item["durations"]) == len(item["tokens"])
+    assert duration_accuracy(corpus[0]["durations"], corpus[0]) == \
+        {"exact": 1.0, "mae": 0.0}
+
+
+def test_path_duration_roundtrip():
+    durs = jnp.asarray(np.array([[2, 3, 1], [4, 0, 0]], np.int32))
+    path = path_from_durations(durs, max_mel=8)
+    assert path.shape == (2, 3, 8)
+    np.testing.assert_array_equal(np.asarray(durations_from_path(path)),
+                                  np.asarray(durs))
+    # frame-major round trip
+    pf = jnp.transpose(path, (0, 2, 1))
+    np.testing.assert_array_equal(
+        np.asarray(durations_from_path(pf, frame_major=True)),
+        np.asarray(durs))
+
+
+def test_duration_loss_masked():
+    pred = jnp.zeros((2, 4))
+    durs = jnp.asarray(np.array([[1, 1, 1, 9], [1, 1, 9, 9]], np.float32))
+    tl = jnp.array([3, 2])
+    # with masking, the 9s (padding) must not contribute: both rows are
+    # all-ones in the real region -> identical loss
+    l = duration_loss(pred, durs, tl)
+    l_ref = float(jnp.log(2.0) ** 2)
+    np.testing.assert_allclose(float(l), l_ref, rtol=1e-5)
+
+
+def test_selected_loglik():
+    value = jnp.asarray(np.arange(24, dtype=np.float32).reshape(1, 4, 6))
+    path = path_from_durations(jnp.array([[2, 2, 1, 1]]), max_mel=6)
+    got = float(selected_loglik(value, path)[0])
+    want = value[0, 0, 0] + value[0, 0, 1] + value[0, 1, 2] + \
+        value[0, 1, 3] + value[0, 2, 4] + value[0, 3, 5]
+    np.testing.assert_allclose(got, float(want))
