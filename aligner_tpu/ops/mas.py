@@ -161,6 +161,25 @@ def maximum_path(value, mask, *, implementation: str = "auto"):
         path = mas_pallas(v, t_x, t_y)
     elif implementation == "lax":
         path = mas_lax(v, t_x, t_y)
+    elif implementation == "cpp":
+        # Host-side native oracle — debugging / CPU-eager fallback. This
+        # reintroduces the reference's host round-trip by construction;
+        # never the default.
+        import numpy as np
+
+        from ..native import maximum_path_cpp
+
+        def _cb(v_np, m_np):
+            return maximum_path_cpp(np.asarray(v_np), np.asarray(m_np)) \
+                .astype(np.float32)
+
+        if isinstance(v, jax.core.Tracer):
+            # Inside jit: host callback (unsupported on some platforms,
+            # e.g. the tunneled axon TPU backend — use eagerly there).
+            path = jax.pure_callback(
+                _cb, jax.ShapeDtypeStruct(v.shape, jnp.float32), v, mask)
+        else:
+            path = jnp.asarray(_cb(v, mask))
     else:
         raise ValueError(f"unknown implementation: {implementation!r}")
     return path.astype(dtype)

@@ -88,6 +88,34 @@ def _forward_kernel(val_ref, bits_ref, carry_ref):
         bits_ref[j] = ((prev < prev_shift) & x_gt_0).astype(jnp.int8)
         return jnp.maximum(prev, v_prev) + col
 
+    x_lt_2 = x < 2
+
+    def pair_fast(jj, prev):
+        # Two composed recurrence steps (y >= T_x). The shift-k candidate
+        # coefficients depend only on the value columns, so the critical
+        # dependency chain shrinks from 8 ops per 2 frames to 6. Bit-exact:
+        # round(p + max(a, b)) == max(round(p+a), round(p+b)) because f32
+        # rounding is monotone, so distributing adds over the max tree
+        # preserves every candidate's rounded value.
+        j = 2 * jj
+        colA = val_ref[j]
+        colB = val_ref[j + 1]
+        r1 = pltpu.roll(prev, 1, axis=1)            # prev[x-1]
+        r2 = pltpu.roll(prev, 2, axis=1)            # prev[x-2]
+        sel1 = jnp.where(x_is_0, MAX_NEG_VAL, r1)
+        sel2 = jnp.where(x_lt_2, MAX_NEG_VAL, r2)
+        rollA = pltpu.roll(colA, 1, axis=1)         # colA[x-1]
+        m1 = jnp.where(x_is_0, colA, jnp.maximum(colA, rollA))
+        a1 = jnp.where(x_is_0, 0.0, rollA)
+        t0 = prev + colA
+        t1 = sel1 + m1
+        t2 = sel2 + a1
+        bits_ref[j] = ((prev < r1) & x_gt_0).astype(jnp.int8)
+        cmid = jnp.maximum(prev, sel1) + colA       # the skipped column
+        bits_ref[j + 1] = ((cmid < pltpu.roll(cmid, 1, axis=1))
+                           & x_gt_0).astype(jnp.int8)
+        return jnp.maximum(jnp.maximum(t1, t2), t0) + colB
+
     @pl.when(i * chunk < T_x)
     def _():
         carry_ref[:] = jax.lax.fori_loop(0, chunk, body_full,
@@ -95,8 +123,12 @@ def _forward_kernel(val_ref, bits_ref, carry_ref):
 
     @pl.when(i * chunk >= T_x)
     def _():
-        carry_ref[:] = jax.lax.fori_loop(0, chunk, body_fast,
-                                         carry_ref[:], unroll=True)
+        if chunk % 2 == 0 and T_x >= 2:
+            carry_ref[:] = jax.lax.fori_loop(0, chunk // 2, pair_fast,
+                                             carry_ref[:], unroll=True)
+        else:
+            carry_ref[:] = jax.lax.fori_loop(0, chunk, body_fast,
+                                             carry_ref[:], unroll=True)
 
 
 def _backtrack_kernel(tx_ref, ty_ref, bits_ref, path_ref, ind_ref):
@@ -118,18 +150,57 @@ def _backtrack_kernel(tx_ref, ty_ref, bits_ref, path_ref, ind_ref):
 
     base = (n - 1 - i) * chunk
 
-    def body(jj, ind):
-        j = chunk - 1 - jj
+    # Two frames per iteration with the two-step walk *composed*: the
+    # per-step update ind' = ind - s + roll(s, -1) (s = ind * bits) has a
+    # serial dependency chain whose latency dominates at small batch; the
+    # composed move-0/1/2 coefficients D0/D1/D2 depend only on the bit
+    # rows (off the critical chain), so ind_{y-2} is 4 chained ops from
+    # ind_y instead of 8. One-hot x {0,1} algebra in f32 — exact.
+    # roll(v, T_x - k) == shift left by k; wrapped-in lanes are always
+    # zero because forward bits vanish at x == 0 (and D2 at x <= 1).
+    def single_step(j, ind):
         y = base + j
         emit = ind * (y < ty).astype(jnp.float32)
         path_ref[j] = emit.astype(jnp.int8)
-        selected = emit * bits_ref[j].astype(jnp.float32)
-        # index -= 1 as a one-hot lane shift; pltpu.roll requires a
-        # non-negative shift, so roll by T_x - 1 (circularly identical;
-        # selected is zero at x == 0 because forward bits are).
-        return ind - selected + pltpu.roll(selected, T_x - 1, axis=1)
+        s = emit * bits_ref[j].astype(jnp.float32)
+        return ind - s + pltpu.roll(s, T_x - 1, axis=1)
 
-    ind_ref[:] = jax.lax.fori_loop(0, chunk, body, ind_ref[:], unroll=True)
+    def pair_body(jj, ind):
+        j_hi = chunk - 1 - (chunk % 2) - 2 * jj
+        j_lo = j_hi - 1
+        y_hi = base + j_hi
+        a_hi = (y_hi < ty).astype(jnp.float32)
+        a_lo = (y_hi - 1 < ty).astype(jnp.float32)
+        b1 = bits_ref[j_hi].astype(jnp.float32) * a_hi
+        b2 = bits_ref[j_lo].astype(jnp.float32) * a_lo
+        b2s = pltpu.roll(b2, 1, axis=1)          # b2[x-1]
+        d1 = b1 * (1.0 - b2s) + (1.0 - b1) * b2  # move exactly one
+        d2 = b1 * b2s                            # move twice
+        path_ref[j_hi] = (ind * a_hi).astype(jnp.int8)
+        s1 = ind * b1
+        ind_mid = ind - s1 + pltpu.roll(s1, T_x - 1, axis=1)
+        path_ref[j_lo] = (ind_mid * a_lo).astype(jnp.int8)
+        m1 = ind * d1
+        m2 = ind * d2
+        return (ind - m1 - m2
+                + pltpu.roll(m1, T_x - 1, axis=1)
+                + pltpu.roll(m2, max(T_x - 2, 0), axis=1))
+
+    ind = ind_ref[:]
+    if chunk % 2:                     # static: odd chunks do the top
+        ind = single_step(chunk - 1, ind)  # frame singly, then pairs
+    if T_x >= 2:
+        ind = jax.lax.fori_loop(0, chunk // 2, pair_body, ind,
+                                unroll=True)
+    else:                             # T_x == 1: index never moves
+        ind = jax.lax.fori_loop(
+            0, chunk // 2,
+            lambda jj, ind: single_step(
+                chunk - 1 - (chunk % 2) - 2 * jj - 1,
+                single_step(chunk - 1 - (chunk % 2) - 2 * jj, ind)),
+            ind, unroll=True)
+
+    ind_ref[:] = ind
 
 
 def _pick_chunk(T_y: int, B: int = 32, T_x: int = 128,
