@@ -94,6 +94,10 @@ def _beta_scan(logp_tm, t_x, t_y):
     return betas
 
 
+def _use_pallas() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
 @jax.custom_vjp
 def forward_sum_loss(log_probs, t_x, t_y):
     """Negative marginal log-likelihood of all monotonic alignments.
@@ -101,6 +105,9 @@ def forward_sum_loss(log_probs, t_x, t_y):
     log_probs: [B, T_y, T_x], log-softmax over the text axis (+ any prior).
     t_x, t_y: [B] int32. Returns per-item loss [B] (sum over frames; divide
     by t_y for a per-frame loss).
+
+    On TPU both sweeps run as Pallas kernels (forward_sum_pallas); the
+    lax.scan formulation below is the CPU path and numerical oracle.
     """
     loss, _ = _forward_sum_fwd(log_probs, t_x, t_y)
     return loss
@@ -117,7 +124,11 @@ def _total_from_alphas(alphas, t_x, t_y):
 def _forward_sum_fwd(log_probs, t_x, t_y):
     lp = _masked_logp(log_probs.astype(jnp.float32), t_x)
     lp_tm = jnp.moveaxis(lp, 0, 1)  # [T_y, B, T_x]
-    alphas = _alpha_scan(lp_tm, t_y)
+    if _use_pallas():
+        from .forward_sum_pallas import forward_sum_alpha_pallas
+        alphas, _ = forward_sum_alpha_pallas(lp_tm, t_y)
+    else:
+        alphas = _alpha_scan(lp_tm, t_y)
     total = _total_from_alphas(alphas, t_x, t_y)
     return -total, (lp_tm, alphas, total, t_x, t_y)
 
@@ -125,14 +136,19 @@ def _forward_sum_fwd(log_probs, t_x, t_y):
 def _forward_sum_bwd(res, g):
     lp_tm, alphas, total, t_x, t_y = res
     T_y, B, T_x = lp_tm.shape
-    betas = _beta_scan(lp_tm, t_x, t_y)
-    # Posterior occupancy gamma[y, b, x]; alpha includes logp, beta doesn't.
-    gamma = jnp.exp(alphas + betas - total[None, :, None])
-    ys = jnp.arange(T_y, dtype=jnp.int32)
-    xs = jnp.arange(T_x, dtype=jnp.int32)
-    in_range = ((ys[:, None, None] < t_y[None, :, None])
-                & (xs[None, None, :] < t_x[None, :, None]))
-    gamma = jnp.where(in_range, gamma, 0.0)
+    if _use_pallas():
+        from .forward_sum_pallas import forward_sum_grad_pallas
+        gamma = forward_sum_grad_pallas(lp_tm, alphas, total, t_x, t_y)
+    else:
+        betas = _beta_scan(lp_tm, t_x, t_y)
+        # Posterior occupancy gamma[y, b, x]; alpha includes logp, beta
+        # doesn't.
+        gamma = jnp.exp(alphas + betas - total[None, :, None])
+        ys = jnp.arange(T_y, dtype=jnp.int32)
+        xs = jnp.arange(T_x, dtype=jnp.int32)
+        in_range = ((ys[:, None, None] < t_y[None, :, None])
+                    & (xs[None, None, :] < t_x[None, :, None]))
+        gamma = jnp.where(in_range, gamma, 0.0)
     # d(-total)/d logp = -gamma, chain with per-item cotangent g.
     grad = -gamma * g[None, :, None]
     return jnp.moveaxis(grad, 1, 0), None, None
