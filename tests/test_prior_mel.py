@@ -74,3 +74,23 @@ def test_mel_filterbank_properties():
     assert (fb >= 0).all()
     # every filter has support
     assert (fb.sum(0) > 0).all()
+
+
+def test_prior_ratio_matches_gammaln_and_scipy():
+    T_x, T_y = 24, 40
+    t_x = jnp.array([20, 1, 24]); t_y = jnp.array([36, 12, 40])
+    for omega in (1.0, 0.5, 3.0):
+        r = np.asarray(beta_binomial_log_prior(t_x, t_y, T_x, T_y, omega,
+                                               method="ratio"))
+        g = np.asarray(beta_binomial_log_prior(t_x, t_y, T_x, T_y, omega,
+                                               method="gammaln"))
+        for i, (txi, tyi) in enumerate([(20, 36), (1, 12), (24, 40)]):
+            np.testing.assert_allclose(r[i, :tyi, :txi], g[i, :tyi, :txi],
+                                       rtol=5e-3, atol=5e-3)
+            for y in (0, tyi // 2, tyi - 1):
+                rv = betabinom(txi - 1, omega * (y + 1),
+                               omega * (tyi - y))
+                np.testing.assert_allclose(
+                    r[i, y, :txi], rv.logpmf(np.arange(txi)),
+                    rtol=5e-3, atol=5e-3)
+        assert (r[0, 36:] < -1e14).all() and (r[0, :, 20:] < -1e14).all()
