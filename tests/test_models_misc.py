@@ -54,3 +54,33 @@ def test_torch_compat_drop_in():
     assert path.dtype == value.dtype
     want = maximum_path_numpy(value_np, mask_np)
     np.testing.assert_array_equal(path.numpy().astype(np.int32), want)
+
+
+def test_romo_model_end_to_end():
+    from aligner_tpu.models import RoMoAligner, RoMoConfig
+
+    model = RoMoAligner(RoMoConfig(vocab_size=40, dim=32, hidden=48,
+                                   window=6, max_duration=8))
+    rng = np.random.default_rng(2)
+    B, T_x, T_y = 3, 8, 32
+    tokens = jnp.asarray(rng.integers(1, 40, (B, T_x)), jnp.int32)
+    mel = jnp.asarray(rng.standard_normal((B, T_y, 80)).astype(np.float32))
+    t_x = jnp.array([8, 6, 4], jnp.int32)
+    t_y = jnp.array([32, 24, 20], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens, mel, t_x, t_y)["params"]
+    out = jax.jit(lambda p: model.apply({"params": p}, tokens, mel, t_x,
+                                        t_y))(params)
+    assert np.isfinite(float(out["loss"]))
+    # anchors are monotone per item over real tokens
+    a = np.asarray(out["anchors"])
+    for i in range(B):
+        assert (np.diff(a[i, :int(t_x[i])]) >= -1e-4).all()
+    # refined hard durations cover the mel exactly
+    d = np.asarray(out["hard_durations"])
+    for i in range(B):
+        assert d[i, :int(t_x[i])].sum() == int(t_y[i])
+    # both stages trainable
+    g = jax.grad(lambda p: model.apply(
+        {"params": p}, tokens, mel, t_x, t_y,
+        compute_hard=False)["loss"])(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
