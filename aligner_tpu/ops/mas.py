@@ -39,14 +39,17 @@ from ..utils.masks import lengths_from_lattice_mask
 MAX_NEG_VAL = -1e9
 
 
-def _forward_bits_single(value, t_x, t_y):
+def _forward_bits_single(value, t_x, t_y, y0=0, carry0=None):
     """Forward band sweep for one item.
 
-    value: [T_x, T_y] float32 lattice (log-probs).
-    t_x, t_y: scalar int32 true lengths.
-    Returns bits [T_y, T_x] bool — the backtrack decrement predicate per cell.
+    value: [T_x, T_yl] float32 lattice block (log-probs); y0: global frame
+    index of the block's first column (for sequence-parallel blocks);
+    carry0: incoming cumulative column (zeros for the first block).
+    t_x, t_y: scalar int32 true lengths (global).
+    Returns (bits [T_yl, T_x] bool — the backtrack decrement predicate per
+    cell — and the outgoing cumulative column).
     """
-    T_x, T_y = value.shape
+    T_x, T_yl = value.shape
     xs = jnp.arange(T_x, dtype=jnp.int32)
 
     def step(prev_col, inputs):
@@ -66,18 +69,23 @@ def _forward_bits_single(value, t_x, t_y):
         bits = (xs > 0) & ((xs == y) | (prev_col < prev_shift)) & in_band
         return cum, bits
 
-    ys = jnp.arange(T_y, dtype=jnp.int32)
-    _, bits = jax.lax.scan(step, jnp.zeros((T_x,), value.dtype),
-                           (ys, value.T))
-    return bits
+    ys = y0 + jnp.arange(T_yl, dtype=jnp.int32)
+    init = (jnp.zeros((T_x,), value.dtype) if carry0 is None else carry0)
+    final, bits = jax.lax.scan(step, init, (ys, value.T))
+    if carry0 is None and y0 == 0:
+        return bits
+    return bits, final
 
 
-def _backtrack_single(bits, t_x, t_y):
+def _backtrack_single(bits, t_x, t_y, y0=0, index0=None):
     """Reverse walk over the decision bits for one item.
 
-    bits: [T_y, T_x] bool. Returns path [T_x, T_y] float32 (0/1).
+    bits: [T_yl, T_x] bool block starting at global frame y0; index0:
+    incoming token index (t_x - 1 for the last block). Returns path
+    [T_x, T_yl] float32 (0/1) — plus the outgoing index when used
+    block-wise (y0/index0 given).
     """
-    T_y, T_x = bits.shape
+    T_yl, T_x = bits.shape
     xs = jnp.arange(T_x, dtype=jnp.int32)
     valid = (t_x >= 1) & (t_x <= t_y)
 
@@ -89,9 +97,12 @@ def _backtrack_single(bits, t_x, t_y):
         index = index - dec.astype(index.dtype)
         return index, emit
 
-    ys = jnp.arange(T_y, dtype=jnp.int32)
-    _, rows = jax.lax.scan(step, t_x - 1, (ys, bits), reverse=True)
-    return rows.T  # [T_x, T_y]
+    ys = y0 + jnp.arange(T_yl, dtype=jnp.int32)
+    init = t_x - 1 if index0 is None else index0
+    final, rows = jax.lax.scan(step, init, (ys, bits), reverse=True)
+    if index0 is None and y0 == 0:
+        return rows.T
+    return rows.T, final  # [T_x, T_yl]
 
 
 def _mas_single(value, t_x, t_y):
@@ -149,6 +160,13 @@ def maximum_path(value, mask, *, implementation: str = "auto"):
     """
     value = jnp.asarray(value)
     mask = jnp.asarray(mask)
+    if value.ndim != 3 or mask.ndim != 3:
+        raise ValueError(
+            f"maximum_path expects [b, t_x, t_y] value and mask, got "
+            f"value.shape={value.shape}, mask.shape={mask.shape}")
+    if value.shape != mask.shape:
+        raise ValueError(
+            f"value and mask shapes differ: {value.shape} vs {mask.shape}")
     dtype = value.dtype
     t_x, t_y = lengths_from_lattice_mask(mask)
     # The reference multiplies by the mask first (__init__.py:11); in-band

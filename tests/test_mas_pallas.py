@@ -63,3 +63,29 @@ def test_nondivisible_chunk_shapes():
     t_ys = np.maximum(t_xs, rng.integers(1, T_y + 1, B))
     np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
                                   oracle(value, t_xs, t_ys))
+
+
+def test_t_x_one_lane():
+    """T_x == 1: single-lane arrays exercise the single-step backtrack
+    fallback (pair composition requires T_x >= 2)."""
+    rng = np.random.default_rng(21)
+    value = (rng.standard_normal((4, 1, 16))).astype(np.float32)
+    t_xs = np.ones(4, np.int64); t_ys = np.array([16, 9, 1, 4])
+    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
+                                  oracle(value, t_xs, t_ys))
+
+
+def test_minimal_t_y_eight():
+    rng = np.random.default_rng(22)
+    value = (rng.standard_normal((8, 8, 8)) * 2).astype(np.float32)
+    t_xs = rng.integers(1, 9, 8); t_ys = np.maximum(t_xs, rng.integers(1, 9, 8))
+    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
+                                  oracle(value, t_xs, t_ys))
+
+
+def test_input_validation():
+    from aligner_tpu.ops.mas import maximum_path
+    with pytest.raises(ValueError, match="expects"):
+        maximum_path(jnp.zeros((2, 3)), jnp.zeros((2, 3)))
+    with pytest.raises(ValueError, match="differ"):
+        maximum_path(jnp.zeros((1, 2, 3)), jnp.zeros((1, 2, 4)))

@@ -70,3 +70,30 @@ def test_compiled_hlo_has_no_collectives(setup):
     for coll in ("all-reduce", "all-gather", "collective-permute",
                  "all-to-all", "reduce-scatter"):
         assert coll not in hlo, f"unexpected {coll} in batch-sharded MAS"
+
+
+def test_sequence_parallel_mas_matches_single_device():
+    """Mel axis sharded over 8 devices; pipelined carry via ppermute."""
+    from aligner_tpu.parallel.sequence import mas_sequence_parallel
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    rng = np.random.default_rng(5)
+    B, T_x, T_y = 4, 24, 64   # 8 frames per device
+    value = jnp.asarray((rng.standard_normal((B, T_x, T_y)) * 3)
+                        .astype(np.float32))
+    t_xs = jnp.asarray(rng.integers(1, T_x + 1, B), jnp.int32)
+    t_ys = jnp.asarray(
+        np.maximum(np.asarray(t_xs), rng.integers(1, T_y + 1, B)),
+        jnp.int32)
+    got = mas_sequence_parallel(value, t_xs, t_ys, mesh)
+    ref = mas_lax(value, t_xs, t_ys)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sequence_parallel_rejects_indivisible():
+    from aligner_tpu.parallel.sequence import mas_sequence_parallel
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    with pytest.raises(ValueError, match="divisible"):
+        mas_sequence_parallel(jnp.zeros((1, 4, 60)), jnp.array([4]),
+                              jnp.array([60]), mesh)
