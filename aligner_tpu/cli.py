@@ -40,6 +40,30 @@ def build_parser():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--t-text", type=int, default=128)
     p.add_argument("--t-mel", type=int, default=1024)
+
+    p = sub.add_parser("train", help="train the OTA aligner on a wav "
+                                     "corpus (metadata.csv + wavs/)")
+    p.add_argument("corpus", help="corpus root directory")
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--limit", type=int, default=None,
+                   help="max utterances to load")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--dim", type=int, default=192)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=0.05)
+
+    p = sub.add_parser("align", help="emit durations for a wav corpus "
+                                     "using a trained checkpoint")
+    p.add_argument("corpus", help="corpus root directory")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--output", default="durations.jsonl")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--dim", type=int, default=192)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=0.05)
     return ap
 
 
@@ -160,6 +184,89 @@ def cmd_bench_mas(args):
     bench.main()
 
 
+def _file_model(args):
+    from .data import CharTokenizer
+    from .models import OTAAligner, OTAConfig
+
+    tok = CharTokenizer()
+    model = OTAAligner(OTAConfig(vocab_size=tok.vocab_size, dim=args.dim,
+                                 hidden=args.hidden,
+                                 temperature=args.temperature))
+    return tok, model
+
+
+def cmd_train(args):
+    import os as _os
+
+    from .data import bucket_batches, load_corpus
+    from .train.loop import train_aligner
+
+    if not _os.path.exists(_os.path.join(args.corpus, "metadata.csv")):
+        raise SystemExit(f"no metadata.csv under {args.corpus}")
+    tok, model = _file_model(args)
+    items = list(load_corpus(args.corpus, limit=args.limit))
+    if not items:
+        raise SystemExit(f"no usable utterances under {args.corpus}")
+    print(f"loaded {len(items)} utterances")
+    batches = list(bucket_batches(items, args.batch_size, shuffle_seed=0))
+    train_aligner(model, batches, steps=args.steps,
+                  learning_rate=args.lr, bin_start=args.steps // 6,
+                  bin_ramp=args.steps // 3,
+                  checkpoint_dir=args.checkpoint_dir)
+    print(f"checkpoints in {args.checkpoint_dir}")
+
+
+def cmd_align(args):
+    import json as _json
+    import os as _os
+
+    import jax
+    import jax.numpy as jnp
+
+    from .data import bucket_batches, load_corpus
+    from .train import create_train_state, restore_checkpoint
+
+    if not _os.path.isdir(args.checkpoint_dir):
+        raise SystemExit(f"checkpoint dir not found: {args.checkpoint_dir}")
+    if not _os.path.exists(_os.path.join(args.corpus, "metadata.csv")):
+        raise SystemExit(f"no metadata.csv under {args.corpus}")
+    tok, model = _file_model(args)
+    items = list(load_corpus(args.corpus, limit=args.limit))
+    if not items:
+        raise SystemExit(f"no usable utterances under {args.corpus}")
+    batches = list(bucket_batches(items, args.batch_size))
+    first = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    state = create_train_state(jax.random.PRNGKey(0), model, first)
+    state = restore_checkpoint(args.checkpoint_dir, state)
+
+    # map tokens row -> utt_id for reporting
+    by_key = {}
+    for it in items:
+        by_key[(len(it["tokens"]), it["tokens"].tobytes())] = it["utt_id"]
+
+    apply_fn = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b["tokens"], b["mel"], b["text_lengths"],
+        b["mel_lengths"])["durations"])
+    n = 0
+    with open(args.output, "w") as f:
+        for b in batches:
+            bj = {k: jnp.asarray(v) for k, v in b.items()}
+            durs = apply_fn(state.params, bj)
+            import numpy as _np
+            durs = _np.asarray(durs)
+            for i in range(b["tokens"].shape[0]):
+                t_x = int(b["text_lengths"][i])
+                key = (t_x, b["tokens"][i][:t_x].tobytes())
+                utt = by_key.get(key, f"item{n}")
+                f.write(_json.dumps({
+                    "utt_id": utt,
+                    "durations": durs[i, :t_x].astype(int).tolist(),
+                    "n_frames": int(b["mel_lengths"][i]),
+                }) + "\n")
+                n += 1
+    print(f"wrote {n} alignments to {args.output}")
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cmd == "demo-ota":
@@ -168,6 +275,10 @@ def main(argv=None):
         cmd_demo_mobo(args)
     elif args.cmd == "bench-mas":
         cmd_bench_mas(args)
+    elif args.cmd == "train":
+        cmd_train(args)
+    elif args.cmd == "align":
+        cmd_align(args)
 
 
 if __name__ == "__main__":
