@@ -123,8 +123,8 @@ def cmd_demo_mobo(args):
     import jax.numpy as jnp
     import optax
 
-    from .data import SyntheticConfig, duration_accuracy, make_corpus, \
-        pad_batch
+    from .data import (SyntheticConfig, duration_accuracy, make_corpus,
+                       pad_batch, prototypes)
     from .models import MoBoAligner, MoBoConfig
 
     cfg = SyntheticConfig(seed=args.seed, max_tokens=16,
@@ -132,9 +132,7 @@ def cmd_demo_mobo(args):
     corpus = make_corpus(args.batch_size, cfg)
     batch = pad_batch(corpus)
     b = {k: jnp.asarray(v) for k, v in batch.items()}
-    protos = jnp.asarray(
-        np.random.default_rng(cfg.seed).standard_normal(
-            (cfg.vocab_size, cfg.n_mels)).astype(np.float32))
+    protos = jnp.asarray(prototypes(cfg))
 
     model = MoBoAligner(MoBoConfig(vocab_size=cfg.vocab_size, dim=64,
                                    hidden=96,
@@ -179,7 +177,20 @@ def cmd_demo_mobo(args):
 
 
 def cmd_bench_mas(args):
-    import bench  # repo-root bench.py
+    import importlib.util
+    import os as _os
+
+    # bench.py lives at the repo root (the driver contract), not in the
+    # installed package; load it by path so the subcommand works from
+    # any CWD as long as the checkout is importable.
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    path = _os.path.join(root, "bench.py")
+    if not _os.path.exists(path):
+        raise SystemExit("bench-mas requires the repo checkout "
+                         f"(bench.py not found at {path})")
+    spec = importlib.util.spec_from_file_location("bench", path)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
     bench.B, bench.T_X, bench.T_Y = args.batch, args.t_text, args.t_mel
     bench.main()
 
@@ -234,32 +245,26 @@ def cmd_align(args):
     items = list(load_corpus(args.corpus, limit=args.limit))
     if not items:
         raise SystemExit(f"no usable utterances under {args.corpus}")
-    batches = list(bucket_batches(items, args.batch_size))
-    first = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    batches = list(bucket_batches(items, args.batch_size,
+                                  with_items=True))
+    first = {k: jnp.asarray(v) for k, v in batches[0][0].items()}
     state = create_train_state(jax.random.PRNGKey(0), model, first)
     state = restore_checkpoint(args.checkpoint_dir, state)
-
-    # map tokens row -> utt_id for reporting
-    by_key = {}
-    for it in items:
-        by_key[(len(it["tokens"]), it["tokens"].tobytes())] = it["utt_id"]
 
     apply_fn = jax.jit(lambda p, b: model.apply(
         {"params": p}, b["tokens"], b["mel"], b["text_lengths"],
         b["mel_lengths"])["durations"])
     n = 0
     with open(args.output, "w") as f:
-        for b in batches:
+        for b, group in batches:
             bj = {k: jnp.asarray(v) for k, v in b.items()}
             durs = apply_fn(state.params, bj)
             import numpy as _np
             durs = _np.asarray(durs)
-            for i in range(b["tokens"].shape[0]):
+            for i, item in enumerate(group):
                 t_x = int(b["text_lengths"][i])
-                key = (t_x, b["tokens"][i][:t_x].tobytes())
-                utt = by_key.get(key, f"item{n}")
                 f.write(_json.dumps({
-                    "utt_id": utt,
+                    "utt_id": item["utt_id"],
                     "durations": durs[i, :t_x].astype(int).tolist(),
                     "n_frames": int(b["mel_lengths"][i]),
                 }) + "\n")

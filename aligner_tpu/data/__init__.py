@@ -1,9 +1,10 @@
 from .batching import BucketSpec, bucket_batches, pad_batch, round_up
 from .files import load_corpus, load_metadata, read_wav
-from .synthetic import SyntheticConfig, duration_accuracy, make_corpus
+from .synthetic import (SyntheticConfig, duration_accuracy,
+                        make_corpus, prototypes)
 from .text import CharTokenizer
 
 __all__ = ["BucketSpec", "CharTokenizer", "SyntheticConfig",
            "bucket_batches", "duration_accuracy", "load_corpus",
-           "load_metadata", "make_corpus", "pad_batch", "read_wav",
+           "load_metadata", "make_corpus", "pad_batch", "prototypes", "read_wav",
            "round_up"]

@@ -61,11 +61,15 @@ def pad_batch(items: Iterable[dict], spec: BucketSpec | None = None):
 
 
 def bucket_batches(dataset: Iterable[dict], batch_size: int,
-                   spec: BucketSpec | None = None, shuffle_seed=None):
+                   spec: BucketSpec | None = None, shuffle_seed=None,
+                   with_items: bool = False):
     """Group items into batches of same-bucket items (minimal padding).
 
-    Yields padded batch dicts. Items are assigned to (text, mel) buckets;
-    a batch is emitted whenever a bucket fills. Leftovers flush at the end.
+    Yields padded batch dicts (row i of a batch corresponds to the i-th
+    item of its group; pass with_items=True to also get that group, e.g.
+    to keep utterance ids attached). Items are assigned to (text, mel)
+    buckets; a batch is emitted whenever a bucket fills. Leftovers flush
+    at the end.
     """
     spec = spec or BucketSpec()
     items = list(dataset)
@@ -73,10 +77,15 @@ def bucket_batches(dataset: Iterable[dict], batch_size: int,
         rng = np.random.default_rng(shuffle_seed)
         rng.shuffle(items)
     pending: dict[tuple[int, int], list] = {}
+
+    def emit(group):
+        batch = pad_batch(group, spec)
+        return (batch, group) if with_items else batch
+
     for it in items:
         key = spec.bucket_for(len(it["tokens"]), it["mel"].shape[0])
         pending.setdefault(key, []).append(it)
         if len(pending[key]) == batch_size:
-            yield pad_batch(pending.pop(key), spec)
+            yield emit(pending.pop(key))
     for group in pending.values():
-        yield pad_batch(group, spec)
+        yield emit(group)

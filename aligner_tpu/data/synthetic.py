@@ -26,12 +26,22 @@ class SyntheticConfig:
     seed: int = 0
 
 
+def prototypes(cfg: SyntheticConfig = SyntheticConfig()) -> np.ndarray:
+    """The per-token mel prototypes [vocab, n_mels] for a config — the
+    same array make_corpus uses (deterministic in cfg.seed)."""
+    rng = np.random.default_rng(cfg.seed)
+    return rng.standard_normal((cfg.vocab_size, cfg.n_mels)) \
+        .astype(np.float32)
+
+
 def make_corpus(n_utterances: int, cfg: SyntheticConfig = SyntheticConfig()):
     """Returns a list of dicts: tokens [t_x], mel [t_y, n_mels],
     durations [t_x] (ground truth)."""
     rng = np.random.default_rng(cfg.seed)
-    protos = rng.standard_normal((cfg.vocab_size, cfg.n_mels)) \
-        .astype(np.float32)
+    protos = prototypes(cfg)
+    # advance the stream past the prototype draw (prototypes() re-derives
+    # the same array from a fresh generator with the same seed)
+    rng.standard_normal((cfg.vocab_size, cfg.n_mels))
     out = []
     for _ in range(n_utterances):
         t_x = int(rng.integers(cfg.min_tokens, cfg.max_tokens + 1))

@@ -8,6 +8,7 @@ for padding; unknown characters map to id 1.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -33,7 +34,7 @@ class CharTokenizer:
         return len(self.chars) + 2  # pad + unk
 
     def encode(self, text: str) -> np.ndarray:
-        table = {c: i + 2 for i, c in enumerate(self.chars)}
+        table = _char_table(self.chars)
         return np.asarray([table.get(c, self.unk_id) for c in text],
                           np.int32)
 
@@ -41,3 +42,8 @@ class CharTokenizer:
         return "".join(self.chars[i - 2] if 2 <= i < self.vocab_size
                        else ("␣" if i == self.pad_id else "�")
                        for i in np.asarray(ids))
+
+
+@functools.lru_cache(maxsize=8)
+def _char_table(chars: str) -> dict:
+    return {c: i + 2 for i, c in enumerate(chars)}

@@ -113,13 +113,15 @@ def _beta_grad_kernel(tx_ref, ty_ref, total_ref, lp_ref, alpha_ref,
 def forward_sum_alpha_pallas(lp_tm, t_y, *, interpret: bool = False):
     """lp_tm: [T_y, B, T_x] pre-masked log-probs. Returns (alphas
     [T_y, B, T_x], final carry [B, T_x])."""
+    from .mas_pallas import _pad_frames
+    lp_tm, T_y0 = _pad_frames(lp_tm)
     T_y, B, T_x = lp_tm.shape
     chunk = _pick_chunk(T_y, B, T_x)
     ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None], (B, T_x))
     len_spec = pl.BlockSpec((B, T_x), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     grid = T_y // chunk
-    return pl.pallas_call(
+    alphas, final = pl.pallas_call(
         _alpha_kernel,
         grid=(grid,),
         in_specs=[
@@ -140,11 +142,15 @@ def forward_sum_alpha_pallas(lp_tm, t_y, *, interpret: bool = False):
         scratch_shapes=[pltpu.VMEM((B, T_x), jnp.float32)],
         interpret=interpret,
     )(ty_b, lp_tm)
+    return alphas[:T_y0], final
 
 
 def forward_sum_grad_pallas(lp_tm, alphas, total, t_x, t_y,
                             *, interpret: bool = False):
     """Posterior occupancy gamma [T_y, B, T_x] via the fused beta sweep."""
+    from .mas_pallas import _pad_frames
+    lp_tm, T_y0 = _pad_frames(lp_tm)
+    alphas, _ = _pad_frames(alphas)
     T_y, B, T_x = lp_tm.shape
     chunk = _pick_chunk(T_y, B, T_x)
     grid = T_y // chunk
@@ -155,7 +161,7 @@ def forward_sum_grad_pallas(lp_tm, alphas, total, t_x, t_y,
     len_spec = pl.BlockSpec((B, T_x), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     rev = lambda i: (grid - 1 - i, 0, 0)
-    return pl.pallas_call(
+    gamma = pl.pallas_call(
         _beta_grad_kernel,
         grid=(grid,),
         in_specs=[
@@ -169,3 +175,4 @@ def forward_sum_grad_pallas(lp_tm, alphas, total, t_x, t_y,
         scratch_shapes=[pltpu.VMEM((B, T_x), jnp.float32)],
         interpret=interpret,
     )(tx_b, ty_b, total_b, lp_tm, alphas)
+    return gamma[:T_y0]

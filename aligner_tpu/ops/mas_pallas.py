@@ -257,15 +257,30 @@ def mas_pallas_backtrack(bits, t_x, t_y, *, interpret: bool = False):
     )(tx_b, ty_b, bits)
 
 
-def mas_pallas_tm(value_tm, t_x, t_y, *, interpret: bool = False):
+def _pad_frames(arr_tm):
+    """Pad the leading (frame) axis to a multiple of 8 so the chunk picker
+    always finds a VMEM-sized divisor (odd T_y would otherwise fall back
+    to a whole-lattice block)."""
+    T_y = arr_tm.shape[0]
+    pad = (-T_y) % 8
+    if pad:
+        arr_tm = jnp.pad(arr_tm, ((0, pad),) + ((0, 0),) * (arr_tm.ndim - 1))
+    return arr_tm, T_y
+
+
+def mas_pallas_tm(value_tm, t_x, t_y, *, interpret: bool | None = None):
     """Time-major MAS: value [T_y, B, T_x] f32 -> int8 path [T_y, B, T_x].
 
     The transpose-free entry point for internal callers whose lattices are
     naturally mel-major (e.g. the OTA aligner's attention is [B, T_mel,
     T_text]); the public `maximum_path` wraps this with layout conversion.
     """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    value_tm, T_y = _pad_frames(value_tm)
     bits = mas_pallas_bits(value_tm, interpret=interpret)
-    return mas_pallas_backtrack(bits, t_x, t_y, interpret=interpret)
+    path = mas_pallas_backtrack(bits, t_x, t_y, interpret=interpret)
+    return path[:T_y]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

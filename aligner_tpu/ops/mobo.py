@@ -178,8 +178,8 @@ def mobo_forward(energies, t_x, t_y, max_duration: int):
     F = jnp.cumsum(post, axis=2)
     F_prev = jnp.concatenate([jnp.ones((1, B, T_y1), F.dtype), F[:-1]],
                              axis=0)
-    # For dead tokens i >= t_x the pass-through carry makes F == F_prev,
-    # so gamma vanishes there automatically.
+    # Dead tokens i >= t_x are zeroed via the `live` mask above (their
+    # raw posteriors are pass-through carries, not zeros).
     gamma = F_prev - F                                # P(b_{i-1} <= t < b_i)
     gamma = jnp.clip(gamma[:, :, :-1], 0.0, 1.0)      # drop shifted tail,
     # gamma[i, b, t] on frame grid: P(b_{i-1} <= t-1) - P(b_i <= t-1)

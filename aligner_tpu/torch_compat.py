@@ -4,9 +4,10 @@ The reference public API takes and returns torch tensors
 (monotonic_align/__init__.py:6-21). Users migrating from it can import
 `aligner_tpu.torch_compat.maximum_path` and keep their call sites
 unchanged: torch in, torch out, same dtype/device contract — but the DP
-runs on the JAX device (TPU) instead of a Cython CPU kernel, with the
-host round-trip reduced to the unavoidable torch<->JAX copies at the
-framework boundary (zero-copy via dlpack where possible).
+runs on the JAX device (TPU) instead of a Cython CPU kernel. The lattice
+is copied host-side at the torch<->JAX boundary (same cost class as the
+reference's own .cpu().numpy() round trip); migrate call sites to the
+native JAX `aligner_tpu.maximum_path` to eliminate the copies entirely.
 
 torch is an optional dependency: importing this module without torch
 installed raises ImportError at call time, not package-import time.

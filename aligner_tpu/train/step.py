@@ -49,7 +49,7 @@ def bin_loss_weight(step, start: int = 1000, ramp: int = 10000,
                     max_weight: float = 1.0):
     """OTA-style annealing: binarisation loss off until `start`, then
     linear ramp to `max_weight` over `ramp` steps."""
-    w = (step - start) / ramp
+    w = (step - start) / max(ramp, 1)
     return jnp.clip(w, 0.0, 1.0) * max_weight
 
 

@@ -12,11 +12,7 @@ under-reported), so we read device-side kernel durations from a
 jax.profiler trace and sum every TPU op in the jitted MAS program. Falls
 back to slope-of-N-enqueued-calls wall timing if no trace is produced.
 """
-import collections
-import glob
-import gzip
 import json
-import os
 import sys
 import tempfile
 import time
@@ -32,25 +28,14 @@ B, T_X, T_Y = 32, 128, 1024
 
 def device_time_from_trace(trace_dir: str, name_prefix: str):
     """Mean per-call device time (s) of the jit program `name_prefix`."""
-    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
-                      recursive=True)
-    if not files:
-        return None
-    with gzip.open(sorted(files)[-1]) as f:
-        data = json.load(f)
-    ev = data.get("traceEvents", [])
-    pids = {e["pid"]: e["args"].get("name", "") for e in ev
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    durs = collections.defaultdict(list)
-    for e in ev:
-        if (e.get("ph") == "X" and "dur" in e
-                and "TPU" in pids.get(e["pid"], "")):
-            durs[e["name"]].append(e["dur"])
-    cands = [ds for n, ds in durs.items() if n.startswith(name_prefix)]
+    from aligner_tpu.utils.profiling import device_op_durations
+
+    durs = device_op_durations(trace_dir)
+    cands = {n: ds for n, ds in durs.items() if n.startswith(name_prefix)}
     if not cands:
         return None
-    ds = max(cands, key=len)
-    return float(np.mean(ds)) / 1e6
+    name = max(cands, key=lambda n: sum(cands[n]))
+    return float(np.mean(cands[name]))
 
 
 def main():
