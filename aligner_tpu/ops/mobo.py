@@ -148,6 +148,71 @@ def _beta_scan(e_tm, t_x, t_y, D):
     return betas
 
 
+def _shift_back_one(arr, d):
+    """arr [..., T] -> arr shifted so out[..., p] = arr[..., p - d]."""
+    pad = jnp.full(arr.shape[:-1] + (d,), NEG, arr.dtype)
+    return jnp.concatenate([pad, arr[..., :-d]], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def mobo_log_marginal(energies, t_x, t_y, max_duration: int):
+    """log P(b_{t_x-1} = t_y - 1) — the MoBo marginal, with an analytic
+    VJP instead of autodiff through the scans:
+
+        d total / d e_i(t) = xi_i(t) - sum_d xi_{i-1}(t-d) exp(e_i(t)
+                                                              - z_i(t-d))
+
+    (posterior boundary marginal minus the expected window-softmax mass;
+    the per-token gradient rows sum to zero). One beta scan + D shifted
+    logaddexp accumulations — roughly half the cost and memory of
+    differentiating through the forward scan.
+    """
+    total, _ = _mobo_log_marginal_fwd(energies, t_x, t_y, max_duration)
+    return total
+
+
+def _mobo_log_marginal_fwd(energies, t_x, t_y, max_duration):
+    e_tm = _prep_energies(energies, t_x, t_y)
+    logB, _ = _boundary_scan(e_tm, t_x, t_y, max_duration, use_max=False)
+    total = _total_from_logB(logB, t_x, t_y)
+    return total, (e_tm, logB, total, t_x, t_y)
+
+
+def _mobo_log_marginal_bwd(max_duration, res, g):
+    e_tm, logB, total, t_x, t_y = res
+    T_x, B, T_y1 = e_tm.shape
+    D = max_duration
+    betas = _beta_scan(e_tm, t_x, t_y, D)
+    log_xi = logB + betas - total[None, :, None]      # [T_x, B, T_y1]
+
+    # log xi_{i-1}: virtual boundary xi_{-1} = delta(p = 0).
+    pos = jnp.arange(T_y1, dtype=jnp.int32)
+    xi_init = jnp.where(pos[None, :] == 0, 0.0, NEG)  # [1-broadcast, T_y1]
+    log_xi_prev = jnp.concatenate(
+        [jnp.broadcast_to(xi_init, (1, B, T_y1)), log_xi[:-1]], axis=0)
+
+    # z_i(p') per token (window normalizer on the shifted grid).
+    z = jax.vmap(lambda e: _window_normalizer(e, D))(e_tm)
+    a = jnp.where(z > 0.5 * NEG, log_xi_prev - z, NEG)
+
+    # logsumexp over d of a(p - d), accumulated to bound memory.
+    acc = jnp.full((T_x, B, T_y1), NEG, jnp.float32)
+    for d in range(1, D + 1):
+        acc = jnp.logaddexp(acc, _shift_back_one(a, d))
+
+    xs = jnp.arange(T_x, dtype=jnp.int32)
+    live = xs[:, None, None] < t_x[None, :, None]
+    xi = jnp.where(live, jnp.exp(log_xi), 0.0)
+    c = jnp.where(live, jnp.exp(e_tm + acc), 0.0)
+    grad_tm = (xi - c) * g[None, :, None]
+    # back to [B, T_y, T_x], dropping the virtual frame -1 column.
+    grad = jnp.moveaxis(grad_tm[:, :, 1:], 0, 2)
+    return grad, None, None
+
+
+mobo_log_marginal.defvjp(_mobo_log_marginal_fwd, _mobo_log_marginal_bwd)
+
+
 def mobo_forward(energies, t_x, t_y, max_duration: int):
     """Soft MoBo alignment (differentiable).
 
@@ -230,6 +295,7 @@ def mobo_hard_boundaries(energies, t_x, t_y, max_duration: int):
 
 
 def mobo_loss(energies, t_x, t_y, max_duration: int):
-    """Convenience: mean per-frame MoBo NLL (differentiable)."""
-    out = mobo_forward(energies, t_x, t_y, max_duration)
-    return jnp.mean(out["loss"] / jnp.maximum(t_y, 1))
+    """Convenience: mean per-frame MoBo NLL (differentiable, analytic
+    gradient via mobo_log_marginal's custom VJP)."""
+    total = mobo_log_marginal(energies, t_x, t_y, max_duration)
+    return jnp.mean(-total / jnp.maximum(t_y, 1))

@@ -145,3 +145,29 @@ def test_differentiable_and_trains():
     for _ in range(50):
         et = et - 0.5 * jax.grad(loss_fn)(et)
     assert float(loss_fn(et)) < l0
+
+
+def test_analytic_gradient_matches_autodiff():
+    """mobo_log_marginal's custom VJP vs autodiff through mobo_forward."""
+    from aligner_tpu.ops.mobo import mobo_log_marginal
+
+    rng = np.random.default_rng(23)
+    B, T_x, T_y, D = 3, 6, 14, 4
+    e = jnp.asarray(rng.standard_normal((B, T_y, T_x)).astype(np.float32))
+    t_x = jnp.array([6, 4, 2]); t_y = jnp.array([14, 10, 7])
+
+    def via_custom(e):
+        return mobo_log_marginal(e, t_x, t_y, D).sum()
+
+    def via_autodiff(e):
+        return -mobo_forward(e, t_x, t_y, D)["loss"].sum()
+
+    g1 = jax.grad(via_custom)(e)
+    g2 = jax.grad(via_autodiff)(e)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+    # per-token gradient rows sum to zero (posterior minus expected mass)
+    s = np.asarray(g1).sum(axis=1)  # sum over frames -> [B, T_x]
+    for i in range(B):
+        np.testing.assert_allclose(s[i, :int(t_x[i])], 0.0, atol=1e-4)
+        np.testing.assert_allclose(s[i, int(t_x[i]):], 0.0, atol=1e-7)
