@@ -13,9 +13,12 @@ jax.profiler trace and sum every TPU op in the jitted MAS program. Falls
 back to slope-of-N-enqueued-calls wall timing if no trace is produced.
 """
 import json
+import os
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 

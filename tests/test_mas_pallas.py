@@ -89,3 +89,14 @@ def test_input_validation():
         maximum_path(jnp.zeros((2, 3)), jnp.zeros((2, 3)))
     with pytest.raises(ValueError, match="differ"):
         maximum_path(jnp.zeros((1, 2, 3)), jnp.zeros((1, 2, 4)))
+
+
+def test_non_power_of_two_t_x():
+    """T_x = 40 (not a lane multiple): full-dim lane blocks still work."""
+    rng = np.random.default_rng(31)
+    B, T_x, T_y = 4, 40, 64
+    value = (rng.standard_normal((B, T_x, T_y)) * 2).astype(np.float32)
+    t_xs = rng.integers(1, T_x + 1, B)
+    t_ys = np.maximum(t_xs, rng.integers(1, T_y + 1, B))
+    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
+                                  oracle(value, t_xs, t_ys))
