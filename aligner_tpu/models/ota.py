@@ -42,6 +42,14 @@ class OTAConfig:
     prior_omega: float = 1.0
     use_prior: bool = True
     mas_implementation: str = "auto"
+    # Optional self-supervised auxiliary: decode mel frames from the
+    # soft-attended text keys and penalise per-frame reconstruction
+    # error. The forward-sum likelihood is tolerant to small boundary
+    # shifts (the conv encoders smear token identity by their receptive
+    # field); the per-frame reconstruction term sharpens boundaries to
+    # frame accuracy (same mechanism as the MoBo/RoMo reconstruction
+    # objectives). Adds loss_recon to the outputs when True.
+    use_recon: bool = False
 
 
 class OTAAligner(nn.Module):
@@ -97,7 +105,17 @@ class OTAAligner(nn.Module):
 
         durations = jnp.sum(hard, axis=1)                         # [B, T_x]
 
+        loss_recon = 0.0
+        if cfg.use_recon:
+            decoded = nn.Dense(cfg.n_mels, name="mel_decoder")(keys)
+            recon = jnp.einsum("byx,bxd->byd", jnp.exp(log_attn), decoded)
+            frame_mask = mel_mask[..., None]
+            loss_recon = (jnp.sum(frame_mask * (recon - mel) ** 2)
+                          / jnp.maximum(frame_mask.sum(), 1.0)
+                          / cfg.n_mels)
+
         return {
+            "loss_recon": loss_recon,
             "log_attn": log_attn,
             "logp_with_prior": logp,
             "loss_forward_sum": loss_forward_sum,

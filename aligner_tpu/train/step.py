@@ -54,7 +54,8 @@ def bin_loss_weight(step, start: int = 1000, ramp: int = 10000,
 
 
 def make_train_step(model, mesh=None, *, bin_start: int = 1000,
-                    bin_ramp: int = 10000, donate: bool = True):
+                    bin_ramp: int = 10000, recon_weight: float = 1.0,
+                    donate: bool = True):
     """Returns step(state, batch) -> (state, metrics), fully jitted."""
 
     def step(state: TrainState, batch: dict[str, Any]):
@@ -63,7 +64,8 @@ def make_train_step(model, mesh=None, *, bin_start: int = 1000,
                               batch["mel"], batch["text_lengths"],
                               batch["mel_lengths"])
             w_bin = bin_loss_weight(state.step, bin_start, bin_ramp)
-            loss = out["loss_forward_sum"] + w_bin * out["loss_bin"]
+            loss = (out["loss_forward_sum"] + w_bin * out["loss_bin"]
+                    + recon_weight * out.get("loss_recon", 0.0))
             return loss, (out, w_bin)
 
         (loss, (out, w_bin)), grads = jax.value_and_grad(

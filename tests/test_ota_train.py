@@ -138,3 +138,22 @@ def test_full_wav_to_alignment_pipeline():
     out = full_step(params, wav)
     assert np.isfinite(float(out["loss_forward_sum"]))
     assert out["hard_path"].shape[1] == mel.shape[1]
+
+
+def test_ota_recon_auxiliary():
+    model = OTAAligner(OTAConfig(vocab_size=50, dim=32, hidden=48,
+                                 mas_implementation="lax", use_recon=True))
+    batch = make_batch()
+    state = create_train_state(jax.random.PRNGKey(0), model, batch,
+                               learning_rate=1e-3)
+    out = model.apply({"params": state.params}, batch["tokens"],
+                      batch["mel"], batch["text_lengths"],
+                      batch["mel_lengths"])
+    assert float(out["loss_recon"]) > 0
+    step = make_train_step(model, bin_start=-1, bin_ramp=1,
+                           recon_weight=1.0, donate=False)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
