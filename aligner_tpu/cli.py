@@ -59,6 +59,8 @@ def build_parser():
     p.add_argument("corpus", help="corpus root directory")
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--output", default="durations.jsonl")
+    p.add_argument("--textgrid-dir", default=None,
+                   help="also write one Praat TextGrid per utterance")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--dim", type=int, default=192)
@@ -254,6 +256,10 @@ def cmd_align(args):
     apply_fn = jax.jit(lambda p, b: model.apply(
         {"params": p}, b["tokens"], b["mel"], b["text_lengths"],
         b["mel_lengths"])["durations"])
+    if args.textgrid_dir:
+        _os.makedirs(args.textgrid_dir, exist_ok=True)
+    from .ops.mel import MelConfig
+    mel_cfg = MelConfig()
     n = 0
     with open(args.output, "w") as f:
         for b, group in batches:
@@ -263,11 +269,19 @@ def cmd_align(args):
             durs = _np.asarray(durs)
             for i, item in enumerate(group):
                 t_x = int(b["text_lengths"][i])
+                d = durs[i, :t_x].astype(int).tolist()
                 f.write(_json.dumps({
                     "utt_id": item["utt_id"],
-                    "durations": durs[i, :t_x].astype(int).tolist(),
+                    "durations": d,
                     "n_frames": int(b["mel_lengths"][i]),
                 }) + "\n")
+                if args.textgrid_dir:
+                    from .data.textgrid import write_textgrid
+                    write_textgrid(
+                        _os.path.join(args.textgrid_dir,
+                                      f"{item['utt_id']}.TextGrid"),
+                        d, list(item["text"][:t_x]),
+                        mel_cfg.hop_length, mel_cfg.sample_rate)
                 n += 1
     print(f"wrote {n} alignments to {args.output}")
 

@@ -3,8 +3,9 @@ from .files import load_corpus, load_metadata, read_wav
 from .synthetic import (SyntheticConfig, duration_accuracy,
                         make_corpus, prototypes)
 from .text import CharTokenizer
+from .textgrid import durations_to_intervals, write_textgrid
 
 __all__ = ["BucketSpec", "CharTokenizer", "SyntheticConfig",
            "bucket_batches", "duration_accuracy", "load_corpus",
            "load_metadata", "make_corpus", "pad_batch", "prototypes", "read_wav",
-           "round_up"]
+           "round_up", "durations_to_intervals", "write_textgrid"]

@@ -71,3 +71,19 @@ def test_selected_loglik():
     want = value[0, 0, 0] + value[0, 0, 1] + value[0, 1, 2] + \
         value[0, 1, 3] + value[0, 2, 4] + value[0, 3, 5]
     np.testing.assert_allclose(got, float(want))
+
+
+def test_textgrid_export(tmp_path):
+    from aligner_tpu.data import durations_to_intervals, write_textgrid
+
+    ivs = durations_to_intervals([2, 3, 1], "abc", 256, 22050)
+    assert len(ivs) == 3
+    np.testing.assert_allclose(ivs[0][1], 2 * 256 / 22050)
+    np.testing.assert_allclose(ivs[-1][1], 6 * 256 / 22050)
+    assert ivs[1][2] == "b"
+    p = tmp_path / "x.TextGrid"
+    write_textgrid(str(p), [2, 3, 1], ["a", "b", 'c"q'], 256, 22050)
+    text = p.read_text()
+    assert 'Object class = "TextGrid"' in text
+    assert "intervals: size = 3" in text
+    assert 'text = "c""q"' in text  # quote escaping
