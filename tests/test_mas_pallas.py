@@ -100,3 +100,14 @@ def test_non_power_of_two_t_x():
     t_ys = np.maximum(t_xs, rng.integers(1, T_y + 1, B))
     np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
                                   oracle(value, t_xs, t_ys))
+
+
+def test_odd_batch_sizes():
+    """B not a multiple of 8 (full-dim sublane blocks)."""
+    rng = np.random.default_rng(33)
+    for B in (1, 5):
+        value = (rng.standard_normal((B, 16, 32)) * 2).astype(np.float32)
+        t_xs = rng.integers(1, 17, B)
+        t_ys = np.maximum(t_xs, rng.integers(1, 33, B))
+        np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
+                                      oracle(value, t_xs, t_ys))
