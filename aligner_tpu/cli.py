@@ -129,6 +129,9 @@ def cmd_demo_mobo(args):
                        pad_batch, prototypes)
     from .models import MoBoAligner, MoBoConfig
 
+    if args.max_duration < 3:
+        raise SystemExit("--max-duration must be >= 3 (the synthetic "
+                         "corpus draws durations in [2, max_duration-1])")
     cfg = SyntheticConfig(seed=args.seed, max_tokens=16,
                           max_duration=min(7, args.max_duration - 1))
     corpus = make_corpus(args.batch_size, cfg)

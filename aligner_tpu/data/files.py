@@ -46,7 +46,7 @@ def load_metadata(root: str, filename: str = "metadata.csv"):
     """Yields (utt_id, transcript) pairs."""
     with open(os.path.join(root, filename), encoding="utf-8") as f:
         for line in f:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")
             if not line:
                 continue
             parts = line.split("|")

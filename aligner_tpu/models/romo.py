@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.forward_sum import alignment_posteriors, forward_sum_loss
+from ..ops.forward_sum import forward_sum_loss_with_posteriors
 from ..ops.mobo import mobo_forward, mobo_hard_boundaries
 from ..ops.prior import beta_binomial_log_prior
 from ..utils.masks import sequence_mask
@@ -73,10 +73,11 @@ class RoMoAligner(nn.Module):
         log_attn = jax.nn.log_softmax(energies_soft, axis=-1)
         logp = log_attn + beta_binomial_log_prior(
             text_lengths, mel_lengths, T_x, T_y, cfg.prior_omega)
-        loss_rough = jnp.mean(
-            forward_sum_loss(logp, text_lengths, mel_lengths)
-            / jnp.maximum(mel_lengths, 1))
-        gamma, _ = alignment_posteriors(logp, text_lengths, mel_lengths)
+        # Loss and posteriors from ONE alpha+beta sweep; gamma is also the
+        # loss gradient, so the backward pass is free.
+        fs, gamma = forward_sum_loss_with_posteriors(
+            logp, text_lengths, mel_lengths)
+        loss_rough = jnp.mean(fs / jnp.maximum(mel_lengths, 1))
 
         # expected durations -> rough boundary anchors (stop-grad).
         exp_dur = jnp.sum(gamma, axis=1)                   # [B, T_x]
@@ -98,8 +99,15 @@ class RoMoAligner(nn.Module):
 
         mobo = mobo_forward(energies_win, text_lengths, mel_lengths,
                             cfg.max_duration)
-        loss_refine = jnp.mean(mobo["loss"]
-                               / jnp.maximum(mel_lengths, 1))
+        # Gate infeasible items (no boundary sequence fits the window /
+        # max-duration constraints) out of the loss: their ~1e15 sentinel
+        # would otherwise swamp metrics while contributing ~zero gradient.
+        feasible = mobo["loss"] < 1e14
+        per_item = jnp.where(feasible,
+                             mobo["loss"] / jnp.maximum(mel_lengths, 1),
+                             0.0)
+        loss_refine = (jnp.sum(per_item)
+                       / jnp.maximum(jnp.sum(feasible), 1))
 
         result = {
             "log_attn": log_attn,
@@ -109,7 +117,7 @@ class RoMoAligner(nn.Module):
             # False when no boundary sequence fits the window/max-duration
             # constraints (hard_durations are meaningless then; early in
             # training, widen `window` or warm-start the rough stage).
-            "refine_feasible": mobo["loss"] < 1e14,
+            "refine_feasible": feasible,
             "rough_posteriors": gamma,
             "rough_durations": exp_dur,
             "anchors": anchors,

@@ -5,6 +5,7 @@ import ctypes
 import hashlib
 import os
 import subprocess
+import tempfile
 import threading
 
 import numpy as np
@@ -31,12 +32,20 @@ def load_mas_cpu() -> ctypes.CDLL:
             tag = hashlib.sha256(f.read()).hexdigest()[:16]
         so = os.path.join(_build_dir(), f"mas_cpu_{tag}.so")
         if not os.path.exists(so):
-            tmp = so + ".tmp"
-            subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                 "-march=native", _SRC, "-o", tmp, "-lpthread"],
-                check=True, capture_output=True)
-            os.replace(tmp, so)
+            # unique temp per process: concurrent builders (other
+            # processes; _LOCK only serializes threads) each compile to
+            # their own file and atomically install via os.replace.
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=_build_dir())
+            os.close(fd)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-march=native", _SRC, "-o", tmp, "-lpthread"],
+                    check=True, capture_output=True)
+                os.replace(tmp, so)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         lib = ctypes.CDLL(so)
         lib.mas_maximum_path_batch.restype = ctypes.c_int
         lib.mas_maximum_path_batch.argtypes = [

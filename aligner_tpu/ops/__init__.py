@@ -1,4 +1,5 @@
-from .forward_sum import alignment_posteriors, forward_sum_loss
+from .forward_sum import (alignment_posteriors, forward_sum_loss,
+                          forward_sum_loss_with_posteriors)
 from .mas import mas_lax, mas_path_frame_major, maximum_path
 from .mas_pallas import mas_pallas, mas_pallas_tm
 from .mas_reference import mas_single, maximum_path_numpy
@@ -11,6 +12,7 @@ __all__ = [
     "alignment_posteriors",
     "beta_binomial_log_prior",
     "forward_sum_loss",
+    "forward_sum_loss_with_posteriors",
     "log_mel_spectrogram",
     "mas_lax",
     "mas_pallas",

@@ -157,6 +157,53 @@ def _forward_sum_bwd(res, g):
 forward_sum_loss.defvjp(_forward_sum_fwd, _forward_sum_bwd)
 
 
+@jax.custom_vjp
+def forward_sum_loss_with_posteriors(log_probs, t_x, t_y):
+    """(loss [B], gamma [B, T_y, T_x]) in one forward-backward sweep.
+
+    gamma is the alignment posterior — which is also exactly the loss
+    gradient, so the VJP reuses it with no additional backward work.
+    gamma itself is non-differentiable (its cotangent is ignored); use it
+    for anchors/diagnostics under an implicit stop-gradient.
+    """
+    out, _ = _fs_with_post_fwd(log_probs, t_x, t_y)
+    return out
+
+
+def _fs_with_post_fwd(log_probs, t_x, t_y):
+    lp = _masked_logp(log_probs.astype(jnp.float32), t_x)
+    lp_tm = jnp.moveaxis(lp, 0, 1)
+    if _use_pallas():
+        from .forward_sum_pallas import (forward_sum_alpha_pallas,
+                                         forward_sum_grad_pallas)
+        alphas, _ = forward_sum_alpha_pallas(lp_tm, t_y)
+        total = _total_from_alphas(alphas, t_x, t_y)
+        gamma = forward_sum_grad_pallas(lp_tm, alphas, total, t_x, t_y)
+    else:
+        alphas = _alpha_scan(lp_tm, t_y)
+        total = _total_from_alphas(alphas, t_x, t_y)
+        betas = _beta_scan(lp_tm, t_x, t_y)
+        gamma = jnp.exp(alphas + betas - total[None, :, None])
+        T_y, B, T_x = lp_tm.shape
+        ys = jnp.arange(T_y, dtype=jnp.int32)
+        xs = jnp.arange(T_x, dtype=jnp.int32)
+        in_range = ((ys[:, None, None] < t_y[None, :, None])
+                    & (xs[None, None, :] < t_x[None, :, None]))
+        gamma = jnp.where(in_range, gamma, 0.0)
+    gamma_fm = jnp.moveaxis(gamma, 1, 0)
+    return (-total, gamma_fm), gamma_fm
+
+
+def _fs_with_post_bwd(res, cotangents):
+    gamma_fm = res
+    g_loss, _ = cotangents  # gamma's cotangent intentionally dropped
+    return -gamma_fm * g_loss[:, None, None], None, None
+
+
+forward_sum_loss_with_posteriors.defvjp(_fs_with_post_fwd,
+                                        _fs_with_post_bwd)
+
+
 def alignment_posteriors(log_probs, t_x, t_y):
     """Soft alignment posteriors gamma [B, T_y, T_x] (sum to 1 over text
     for each real frame) and the per-item log-marginal. Differentiable

@@ -47,9 +47,11 @@ def main():
     rng = np.random.default_rng(0)
     value = jnp.asarray(
         (rng.standard_normal((B, T_X, T_Y)) * 3).astype(np.float32))
-    t_x = jnp.asarray(rng.integers(64, T_X + 1, B).astype(np.int32))
+    t_x = jnp.asarray(
+        rng.integers(max(1, T_X // 2), T_X + 1, B).astype(np.int32))
     t_y = jnp.asarray(
-        np.maximum(np.asarray(t_x), rng.integers(256, T_Y + 1, B))
+        np.maximum(np.asarray(t_x),
+                   rng.integers(max(1, T_Y // 4), T_Y + 1, B))
         .astype(np.int32))
 
     # correctness gate: bit-identical to the reference oracle

@@ -111,3 +111,29 @@ def test_jit_and_vmap_compatible():
     np.testing.assert_allclose(np.asarray(f(logp, t_x, t_y)),
                                np.asarray(forward_sum_loss(logp, t_x, t_y)),
                                rtol=1e-6)
+
+
+def test_loss_with_posteriors_consistency():
+    from aligner_tpu.ops.forward_sum import forward_sum_loss_with_posteriors
+
+    rng = np.random.default_rng(29)
+    B, T_x, T_y = 3, 5, 11
+    logp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((B, T_y, T_x)).astype(np.float32)),
+        -1)
+    t_x = jnp.array([5, 3, 1]); t_y = jnp.array([11, 7, 4])
+    loss, gamma = forward_sum_loss_with_posteriors(logp, t_x, t_y)
+    np.testing.assert_allclose(np.asarray(loss),
+                               np.asarray(forward_sum_loss(logp, t_x, t_y)),
+                               rtol=1e-6)
+    g_ref, _ = alignment_posteriors(logp, t_x, t_y)
+    np.testing.assert_allclose(np.asarray(gamma), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+    # gradient of the loss output equals -gamma; gamma output is stop-grad
+    g = jax.grad(lambda lp: forward_sum_loss_with_posteriors(
+        lp, t_x, t_y)[0].sum())(logp)
+    np.testing.assert_allclose(np.asarray(g), -np.asarray(gamma),
+                               rtol=1e-5, atol=1e-6)
+    g2 = jax.grad(lambda lp: forward_sum_loss_with_posteriors(
+        lp, t_x, t_y)[1].sum())(logp)
+    assert float(jnp.abs(g2).max()) == 0.0
