@@ -102,13 +102,19 @@ def cmd_demo_ota(args):
         item = _match_item(corpus, np.asarray(b["tokens"][i]),
                            int(b["text_lengths"][i]))
         if item is not None:
-            accs.append(duration_accuracy(
-                np.asarray(out["durations"][i]), item))
+            from .utils.eval import boundary_f1
+            t_xi = len(item["tokens"])
+            rec = duration_accuracy(np.asarray(out["durations"][i]), item)
+            rec["f1"] = boundary_f1(
+                np.asarray(out["durations"][i])[:t_xi],
+                item["durations"], tolerance_frames=2)["f1"]
+            accs.append(rec)
     if accs:
         print(json.dumps({
             "demo": "ota",
             "duration_exact": round(float(np.mean([a["exact"] for a in accs])), 3),
             "duration_mae": round(float(np.mean([a["mae"] for a in accs])), 3),
+            "boundary_f1_tol2": round(float(np.mean([a["f1"] for a in accs])), 3),
         }))
 
 
@@ -172,12 +178,21 @@ def cmd_demo_mobo(args):
             print(f"step {i:5d}  recon+nll {float(l):.4f}")
     out = model.apply({"params": params}, b["tokens"], b["mel"],
                       b["text_lengths"], b["mel_lengths"])
-    accs = [duration_accuracy(np.asarray(out["hard_durations"][i]),
-                              corpus[i]) for i in range(len(corpus))]
+    from .utils.eval import boundary_f1
+    accs = []
+    for i in range(len(corpus)):
+        t_xi = len(corpus[i]["tokens"])
+        rec = duration_accuracy(np.asarray(out["hard_durations"][i]),
+                                corpus[i])
+        rec["f1"] = boundary_f1(
+            np.asarray(out["hard_durations"][i])[:t_xi],
+            corpus[i]["durations"], tolerance_frames=2)["f1"]
+        accs.append(rec)
     print(json.dumps({
         "demo": "mobo",
         "duration_exact": round(float(np.mean([a["exact"] for a in accs])), 3),
         "duration_mae": round(float(np.mean([a["mae"] for a in accs])), 3),
+        "boundary_f1_tol2": round(float(np.mean([a["f1"] for a in accs])), 3),
     }))
 
 

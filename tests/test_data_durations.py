@@ -87,3 +87,24 @@ def test_textgrid_export(tmp_path):
     assert 'Object class = "TextGrid"' in text
     assert "intervals: size = 3" in text
     assert 'text = "c""q"' in text  # quote escaping
+
+
+def test_boundary_f1_and_frame_accuracy():
+    from aligner_tpu.utils.eval import boundary_f1, frame_accuracy
+
+    true = [3, 4, 2, 5]
+    # perfect
+    r = boundary_f1(true, true, tolerance_frames=0)
+    assert r == {"precision": 1.0, "recall": 1.0, "f1": 1.0,
+                 "matched_mae": 0.0}
+    assert frame_accuracy(true, true) == 1.0
+    # one boundary shifted by 1 frame: perfect at tol>=1, one miss at tol=0
+    pred = [4, 3, 2, 5]
+    r0 = boundary_f1(pred, true, tolerance_frames=0)
+    r1 = boundary_f1(pred, true, tolerance_frames=1)
+    assert r0["f1"] < 1.0 and r1["f1"] == 1.0
+    np.testing.assert_allclose(r1["matched_mae"], 1.0 / 3.0)
+    # frame accuracy: one frame flips token
+    np.testing.assert_allclose(frame_accuracy(pred, true), 13 / 14)
+    # degenerate single-token alignments
+    assert boundary_f1([7], [7])["f1"] == 1.0
