@@ -1,0 +1,61 @@
+"""End-to-end CLI: train on a tiny wav corpus, align, TextGrid export."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def wav_corpus(tmp_path):
+    from scipy.io import wavfile
+
+    root = tmp_path / "corpus"
+    os.makedirs(root / "wavs")
+    rng = np.random.default_rng(0)
+    sr = 22050
+    lines = []
+    for u in range(4):
+        text = f"ab cd {u}"
+        wav = (rng.standard_normal(sr // 4) * 0.1 * 32767).astype(np.int16)
+        wavfile.write(str(root / "wavs" / f"u{u}.wav"), sr, wav)
+        lines.append(f"u{u}|{text}")
+    (root / "metadata.csv").write_text("\n".join(lines) + "\n")
+    return str(root)
+
+
+def test_train_then_align_roundtrip(tmp_path, wav_corpus):
+    from aligner_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "durations.jsonl")
+    tg = str(tmp_path / "tg")
+    main(["train", wav_corpus, "--steps", "3", "--batch-size", "4",
+          "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24"])
+    assert any(d.isdigit() for d in os.listdir(ckpt))
+    main(["align", wav_corpus, "--checkpoint-dir", ckpt, "--output", out,
+          "--textgrid-dir", tg, "--batch-size", "4",
+          "--dim", "16", "--hidden", "24"])
+    recs = [json.loads(l) for l in open(out)]
+    assert sorted(r["utt_id"] for r in recs) == ["u0", "u1", "u2", "u3"]
+    for r in recs:
+        assert sum(r["durations"]) == r["n_frames"]
+    tgs = os.listdir(tg)
+    assert len(tgs) == 4
+    text = open(os.path.join(tg, "u0.TextGrid")).read()
+    assert 'class = "IntervalTier"' in text
+
+
+def test_align_missing_checkpoint_fails_fast(wav_corpus):
+    from aligner_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="checkpoint dir not found"):
+        main(["align", wav_corpus, "--checkpoint-dir", "/nonexistent"])
+
+
+def test_train_missing_metadata_fails_fast(tmp_path):
+    from aligner_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="metadata.csv"):
+        main(["train", str(tmp_path), "--checkpoint-dir",
+              str(tmp_path / "c")])
