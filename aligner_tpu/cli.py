@@ -32,6 +32,8 @@ def build_parser():
                                         "synthetic corpus")
     _common(p)
     p.add_argument("--temperature", type=float, default=0.05)
+    p.add_argument("--recon", action="store_true",
+                   help="enable the per-frame reconstruction auxiliary")
     p = sub.add_parser("demo-mobo", help="train the MoBo aligner "
                                          "(reconstruction objective)")
     _common(p)
@@ -88,7 +90,8 @@ def cmd_demo_ota(args):
 
     cfg, corpus, batches = _corpus_batches(args)
     model = OTAAligner(OTAConfig(vocab_size=cfg.vocab_size, dim=96,
-                                 hidden=128, temperature=args.temperature))
+                                 hidden=128, temperature=args.temperature,
+                                 use_recon=args.recon))
     state, _ = train_aligner(model, batches, steps=args.steps,
                              learning_rate=args.lr, bin_start=args.steps // 6,
                              bin_ramp=args.steps // 3,
