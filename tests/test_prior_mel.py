@@ -94,3 +94,18 @@ def test_prior_ratio_matches_gammaln_and_scipy():
                     r[i, y, :txi], rv.logpmf(np.arange(txi)),
                     rtol=5e-3, atol=5e-3)
         assert (r[0, 36:] < -1e14).all() and (r[0, :, 20:] < -1e14).all()
+
+
+def test_htk_mel_scale_variant():
+    cfg = MelConfig(n_fft=256, hop_length=64, win_length=256, htk=True,
+                    n_mels=40)
+    fb = mel_filterbank(cfg)
+    assert fb.shape == (129, 40) and (fb >= 0).all() and (fb.sum(0) > 0).all()
+    wav = np.random.default_rng(0).standard_normal((1, 2048)) \
+        .astype(np.float32)
+    mel = log_mel_spectrogram(jnp.asarray(wav), cfg)
+    assert np.isfinite(np.asarray(mel)).all()
+    # HTK and Slaney scales genuinely differ
+    fb_slaney = mel_filterbank(MelConfig(n_fft=256, hop_length=64,
+                                         win_length=256, n_mels=40))
+    assert not np.allclose(fb, fb_slaney)
