@@ -54,18 +54,29 @@ def main():
                    rng.integers(max(1, T_Y // 4), T_Y + 1, B))
         .astype(np.int32))
 
-    # correctness gate: bit-identical to the reference oracle
+    # correctness gate: bit-identical to the reference oracle (two seeds)
     from aligner_tpu.ops.mas_reference import mas_single
-    out = np.asarray(mas_pallas(value, t_x, t_y)).astype(np.int32)
-    want = np.stack([
-        mas_single(np.asarray(value)[i].copy(), int(t_x[i]), int(t_y[i]))
-        for i in range(B)])
-    if not np.array_equal(out, want):
-        print(json.dumps({"metric": "mas_paths_per_sec_per_chip",
-                          "value": 0.0, "unit": "paths/s",
-                          "vs_baseline": 0.0,
-                          "error": "paths not bit-identical"}))
-        sys.exit(1)
+    for seed in (0, 1):
+        r2 = np.random.default_rng(seed)
+        v2 = jnp.asarray(
+            (r2.standard_normal((B, T_X, T_Y)) * 3).astype(np.float32))
+        x2 = jnp.asarray(
+            r2.integers(max(1, T_X // 2), T_X + 1, B).astype(np.int32))
+        y2 = jnp.asarray(
+            np.maximum(np.asarray(x2),
+                       r2.integers(max(1, T_Y // 4), T_Y + 1, B))
+            .astype(np.int32))
+        out = np.asarray(mas_pallas(v2, x2, y2)).astype(np.int32)
+        want = np.stack([
+            mas_single(np.asarray(v2)[i].copy(), int(x2[i]), int(y2[i]))
+            for i in range(B)])
+        if not np.array_equal(out, want):
+            print(json.dumps({"metric": "mas_paths_per_sec_per_chip",
+                              "value": 0.0, "unit": "paths/s",
+                              "vs_baseline": 0.0,
+                              "error": f"paths not bit-identical "
+                                       f"(seed {seed})"}))
+            sys.exit(1)
 
     jax.block_until_ready(mas_pallas(value, t_x, t_y))  # warm compile
 
