@@ -41,11 +41,12 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
                 rec = {k: float(v) for k, v in metrics.items()}
                 rec.update(step=i, wall_s=round(time.time() - t0, 1))
                 history.append(rec)
+                detail = "  ".join(
+                    f"{k.removeprefix('loss_')} {v:8.4f}"
+                    for k, v in rec.items()
+                    if k not in ("loss", "step", "wall_s") )
                 log_fn(f"step {i:6d}  loss {rec['loss']:8.4f}  "
-                       f"fs {rec['loss_forward_sum']:8.4f}  "
-                       f"bin {rec['loss_bin']:7.4f}  "
-                       f"max_attn {rec['mean_max_attn']:.3f}  "
-                       f"[{rec['wall_s']}s]")
+                       f"{detail}  [{rec['wall_s']}s]")
             if checkpoint_dir and i % checkpoint_every == 0:
                 save_checkpoint(checkpoint_dir, state)
     if checkpoint_dir:

@@ -55,30 +55,42 @@ def bin_loss_weight(step, start: int = 1000, ramp: int = 10000,
 
 def make_train_step(model, mesh=None, *, bin_start: int = 1000,
                     bin_ramp: int = 10000, recon_weight: float = 1.0,
-                    donate: bool = True):
-    """Returns step(state, batch) -> (state, metrics), fully jitted."""
+                    donate: bool = True, objective=None):
+    """Returns step(state, batch) -> (state, metrics), fully jitted.
 
-    def step(state: TrainState, batch: dict[str, Any]):
-        def loss_fn(params):
-            out = model.apply({"params": params}, batch["tokens"],
-                              batch["mel"], batch["text_lengths"],
-                              batch["mel_lengths"])
-            w_bin = bin_loss_weight(state.step, bin_start, bin_ramp)
-            loss = (out["loss_forward_sum"] + w_bin * out["loss_bin"]
-                    + recon_weight * out.get("loss_recon", 0.0))
-            return loss, (out, w_bin)
+    The default objective is the OTA schedule (forward-sum + annealed bin
+    loss + optional reconstruction). For other model families pass
+    `objective(out, step) -> (loss, extra_metrics)` — e.g. for
+    MoBoAligner `lambda out, _: (out["loss_mobo"], {})` or for
+    RoMoAligner `lambda out, _: (out["loss"], {})`.
+    """
 
-        (loss, (out, w_bin)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads=grads)
-        metrics = {
-            "loss": loss,
+    def default_objective(out, step_no):
+        w_bin = bin_loss_weight(step_no, bin_start, bin_ramp)
+        loss = (out["loss_forward_sum"] + w_bin * out["loss_bin"]
+                + recon_weight * out.get("loss_recon", 0.0))
+        return loss, {
             "loss_forward_sum": out["loss_forward_sum"],
             "loss_bin": out["loss_bin"],
             "bin_weight": w_bin,
             "mean_max_attn": jnp.mean(
                 jnp.max(jnp.exp(out["log_attn"]), axis=-1)),
         }
+
+    obj = objective or default_objective
+
+    def step(state: TrainState, batch: dict[str, Any]):
+        def loss_fn(params):
+            out = model.apply({"params": params}, batch["tokens"],
+                              batch["mel"], batch["text_lengths"],
+                              batch["mel_lengths"])
+            loss, extra = obj(out, state.step)
+            return loss, extra
+
+        (loss, extra), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, **extra}
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()

@@ -111,3 +111,14 @@ def test_odd_batch_sizes():
         t_ys = np.maximum(t_xs, rng.integers(1, 33, B))
         np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
                                       oracle(value, t_xs, t_ys))
+
+
+def test_multi_lane_tile_t_x():
+    """T_x > 128: lane rolls cross (8,128) tile boundaries."""
+    rng = np.random.default_rng(41)
+    B, T_x, T_y = 4, 256, 96
+    value = (rng.standard_normal((B, T_x, T_y)) * 3).astype(np.float32)
+    t_xs = rng.integers(1, 97, B)  # keep t_x <= t_y
+    t_ys = np.maximum(t_xs, rng.integers(1, T_y + 1, B))
+    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
+                                  oracle(value, t_xs, t_ys))

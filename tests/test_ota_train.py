@@ -157,3 +157,27 @@ def test_ota_recon_auxiliary():
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_custom_objective_trains_mobo_and_romo():
+    """make_train_step with a custom objective drives non-OTA models."""
+    from aligner_tpu.models import MoBoAligner, MoBoConfig, RoMoAligner, \
+        RoMoConfig
+
+    batch = make_batch(B=4, T_x=8, T_y=32)
+    for model, key in [
+        (MoBoAligner(MoBoConfig(vocab_size=50, dim=24, hidden=32,
+                                max_duration=8)), "loss_mobo"),
+        (RoMoAligner(RoMoConfig(vocab_size=50, dim=24, hidden=32,
+                                window=8, max_duration=10)), "loss"),
+    ]:
+        state = create_train_state(jax.random.PRNGKey(0), model, batch,
+                                   learning_rate=1e-3)
+        step = make_train_step(
+            model, donate=False,
+            objective=lambda out, _, k=key: (out[k], {}))
+        losses = []
+        for _ in range(3):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
