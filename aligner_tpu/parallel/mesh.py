@@ -29,7 +29,17 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    devices = devices[:n_data * n_model]
+    need = n_data * n_model
+    if len(devices) < need or need == 0:
+        plat = devices[0].platform if devices else "none"
+        raise ValueError(
+            f"make_mesh needs {n_data}x{n_model}={need} devices but only "
+            f"{len(devices)} are visible on platform '{plat}'. For a "
+            f"virtual CPU mesh set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={need} and "
+            f'jax.config.update("jax_platforms", "cpu") before any device '
+            f"access (the axon plugin ignores the JAX_PLATFORMS env var).")
+    devices = devices[:need]
     arr = np.array(devices).reshape(n_data, n_model)
     return Mesh(arr, ("data", "model"))
 
