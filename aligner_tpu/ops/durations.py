@@ -30,14 +30,29 @@ def path_from_durations(durations, max_mel: int, mel_lengths=None):
 
 
 def duration_loss(log_pred, durations, text_lengths):
-    """MSE in log-duration domain (Glow-TTS convention), masked and
-    averaged per real token. log_pred: [B, T_x] predicted log-durations;
-    durations: [B, T_x] targets from MAS (non-differentiable)."""
+    """MSE in log-duration domain (Glow-TTS/VITS convention: target is
+    ``log(d + 1e-6)``, so at inference ``round(exp(pred))`` recovers the
+    duration — see `durations_from_log`). Masked and averaged per real
+    token. log_pred: [B, T_x] predicted log-durations; durations: [B, T_x]
+    targets from MAS (non-differentiable)."""
     T_x = durations.shape[1]
     mask = (jnp.arange(T_x)[None, :] < text_lengths[:, None])
-    target = jnp.log(jnp.maximum(durations.astype(jnp.float32), 1e-8) + 1.0)
+    target = jnp.log(durations.astype(jnp.float32) + 1e-6)
     err = jnp.where(mask, (log_pred - target) ** 2, 0.0)
     return err.sum() / jnp.maximum(mask.sum(), 1)
+
+
+def durations_from_log(log_pred, text_lengths=None, *, min_duration: int = 1):
+    """Invert `duration_loss` predictions at inference: ``round(exp(pred))``
+    clamped to at least `min_duration` frames per real token (MAS paths are
+    surjective, so every token gets >= 1 frame); padded tokens get 0."""
+    d = jnp.round(jnp.exp(log_pred)).astype(jnp.int32)
+    d = jnp.maximum(d, min_duration)
+    if text_lengths is not None:
+        T_x = log_pred.shape[1]
+        mask = (jnp.arange(T_x)[None, :] < text_lengths[:, None])
+        d = jnp.where(mask, d, 0)
+    return d
 
 
 def selected_loglik(value, path):

@@ -33,10 +33,25 @@ NEG = -1e15
 
 
 def _masked_logp(log_probs, t_x):
-    """Mask out-of-range text tokens with NEG (ragged T_x)."""
+    """Mask out-of-range text tokens with NEG (ragged T_x) and clamp
+    caller-supplied values to >= NEG.
+
+    The clamp makes user -inf-masked log-probs safe: -inf becomes the
+    finite NEG sentinel, which the Pallas backward kernel's dead-cell
+    test (lp <= NEG/2) then classifies as an impossible cell — gamma and
+    the gradient there are exactly 0 instead of NaN. Any value at or
+    below NEG/2 = -5e14 is treated as "impossible" throughout."""
     B, T_y, T_x = log_probs.shape
     xs = jnp.arange(T_x, dtype=jnp.int32)
+    log_probs = jnp.maximum(log_probs, NEG)  # -inf -> finite sentinel
     return jnp.where(xs[None, None, :] < t_x[:, None, None], log_probs, NEG)
+
+
+def _valid_items(t_x, t_y):
+    """Items violating the 1 <= t_x <= t_y contract have no monotonic
+    surjective alignment; their loss is defined as 0 (with zero gradient),
+    mirroring the MAS kernels' all-zero-path divergence handling."""
+    return (t_x >= 1) & (t_x <= t_y)
 
 
 def _alpha_scan(logp_tm, t_y):
@@ -103,8 +118,11 @@ def forward_sum_loss(log_probs, t_x, t_y):
     """Negative marginal log-likelihood of all monotonic alignments.
 
     log_probs: [B, T_y, T_x], log-softmax over the text axis (+ any prior).
-    t_x, t_y: [B] int32. Returns per-item loss [B] (sum over frames; divide
-    by t_y for a per-frame loss).
+    -inf-masked inputs are safe (clamped to a finite sentinel; see
+    `_masked_logp`). t_x, t_y: [B] int32 with 1 <= t_x <= t_y per item;
+    items violating that have no monotonic surjective alignment and get a
+    defined loss of 0 with zero gradient. Returns per-item loss [B] (sum
+    over frames; divide by t_y for a per-frame loss).
 
     On TPU both sweeps run as Pallas kernels (forward_sum_pallas); the
     lax.scan formulation below is the CPU path and numerical oracle.
@@ -130,11 +148,14 @@ def _forward_sum_fwd(log_probs, t_x, t_y):
     else:
         alphas = _alpha_scan(lp_tm, t_y)
     total = _total_from_alphas(alphas, t_x, t_y)
+    valid = _valid_items(t_x, t_y)
+    total = jnp.where(valid, total, 0.0)
     return -total, (lp_tm, alphas, total, t_x, t_y)
 
 
 def _forward_sum_bwd(res, g):
     lp_tm, alphas, total, t_x, t_y = res
+    g = jnp.where(_valid_items(t_x, t_y), g, 0.0)
     T_y, B, T_x = lp_tm.shape
     if _use_pallas():
         from .forward_sum_pallas import forward_sum_grad_pallas
@@ -173,15 +194,18 @@ def forward_sum_loss_with_posteriors(log_probs, t_x, t_y):
 def _fs_with_post_fwd(log_probs, t_x, t_y):
     lp = _masked_logp(log_probs.astype(jnp.float32), t_x)
     lp_tm = jnp.moveaxis(lp, 0, 1)
+    valid = _valid_items(t_x, t_y)
     if _use_pallas():
         from .forward_sum_pallas import (forward_sum_alpha_pallas,
                                          forward_sum_grad_pallas)
         alphas, _ = forward_sum_alpha_pallas(lp_tm, t_y)
-        total = _total_from_alphas(alphas, t_x, t_y)
+        # Mask invalid items *before* the exp in the grad kernel: their
+        # raw total is ~NEG, and exp(alpha + beta - NEG) overflows.
+        total = jnp.where(valid, _total_from_alphas(alphas, t_x, t_y), 0.0)
         gamma = forward_sum_grad_pallas(lp_tm, alphas, total, t_x, t_y)
     else:
         alphas = _alpha_scan(lp_tm, t_y)
-        total = _total_from_alphas(alphas, t_x, t_y)
+        total = jnp.where(valid, _total_from_alphas(alphas, t_x, t_y), 0.0)
         betas = _beta_scan(lp_tm, t_x, t_y)
         gamma = jnp.exp(alphas + betas - total[None, :, None])
         T_y, B, T_x = lp_tm.shape
@@ -190,6 +214,7 @@ def _fs_with_post_fwd(log_probs, t_x, t_y):
         in_range = ((ys[:, None, None] < t_y[None, :, None])
                     & (xs[None, None, :] < t_x[None, :, None]))
         gamma = jnp.where(in_range, gamma, 0.0)
+    gamma = jnp.where(valid[None, :, None], gamma, 0.0)
     gamma_fm = jnp.moveaxis(gamma, 1, 0)
     return (-total, gamma_fm), gamma_fm
 

@@ -39,7 +39,8 @@ from ..utils.masks import lengths_from_lattice_mask
 MAX_NEG_VAL = -1e9
 
 
-def _forward_bits_single(value, t_x, t_y, y0=0, carry0=None):
+def _forward_bits_single(value, t_x, t_y, y0=0, carry0=None,
+                         max_neg_val: float = MAX_NEG_VAL):
     """Forward band sweep for one item.
 
     value: [T_x, T_yl] float32 lattice block (log-probs); y0: global frame
@@ -56,9 +57,9 @@ def _forward_bits_single(value, t_x, t_y, y0=0, carry0=None):
         y, col = inputs
         # prev_col[x-1]; the x == 0 slot is masked below.
         prev_shift = jnp.concatenate([prev_col[:1], prev_col[:-1]])
-        v_cur = jnp.where(xs == y, MAX_NEG_VAL, prev_col)
+        v_cur = jnp.where(xs == y, max_neg_val, prev_col)
         v_prev = jnp.where(xs == 0,
-                           jnp.where(y == 0, 0.0, MAX_NEG_VAL),
+                           jnp.where(y == 0, 0.0, max_neg_val),
                            prev_shift)
         new = jnp.maximum(v_cur, v_prev) + col
         in_band = ((xs >= t_x + y - t_y) & (xs < t_x) & (xs <= y)
@@ -105,19 +106,21 @@ def _backtrack_single(bits, t_x, t_y, y0=0, index0=None):
     return rows.T, final  # [T_x, T_yl]
 
 
-def _mas_single(value, t_x, t_y):
-    bits = _forward_bits_single(value, t_x, t_y)
+def _mas_single(value, t_x, t_y, max_neg_val: float = MAX_NEG_VAL):
+    bits = _forward_bits_single(value, t_x, t_y, max_neg_val=max_neg_val)
     return _backtrack_single(bits, t_x, t_y)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def mas_lax(value, t_x, t_y):
+@functools.partial(jax.jit, static_argnames=("max_neg_val",))
+def mas_lax(value, t_x, t_y, *, max_neg_val: float = MAX_NEG_VAL):
     """Batched MAS paths via lax.scan.
 
     value: [B, T_x, T_y] float32; t_x, t_y: [B] int32.
     Returns float32 0/1 paths [B, T_x, T_y].
     """
-    return jax.vmap(_mas_single)(value.astype(jnp.float32), t_x, t_y)
+    return jax.vmap(
+        functools.partial(_mas_single, max_neg_val=max_neg_val)
+    )(value.astype(jnp.float32), t_x, t_y)
 
 
 def _resolve_impl(implementation: str) -> str:
@@ -147,7 +150,8 @@ def mas_path_frame_major(logp, t_x, t_y, *, implementation: str = "auto"):
     raise ValueError(f"unknown implementation: {implementation!r}")
 
 
-def maximum_path(value, mask, *, implementation: str = "auto"):
+def maximum_path(value, mask, *, implementation: str = "auto",
+                 max_neg_val: float = MAX_NEG_VAL):
     """Drop-in MAS API: `maximum_path(value, mask) -> path`.
 
     Same contract as the reference wrapper (monotonic_align/__init__.py:6-21):
@@ -157,6 +161,10 @@ def maximum_path(value, mask, *, implementation: str = "auto"):
     round-trip — this is jit-compatible and runs fully on device.
 
     implementation: "auto" | "lax" | "pallas".
+    max_neg_val: sentinel used to exclude infeasible DP transitions —
+    the reference dispatcher's one knob (core.pyx:40, default -1e9). It
+    must dominate (be far below) every real lattice value; only change it
+    if your lattice legitimately contains values near -1e9.
     """
     value = jnp.asarray(value)
     mask = jnp.asarray(mask)
@@ -176,9 +184,9 @@ def maximum_path(value, mask, *, implementation: str = "auto"):
     implementation = _resolve_impl(implementation)
     if implementation == "pallas":
         from .mas_pallas import mas_pallas
-        path = mas_pallas(v, t_x, t_y)
+        path = mas_pallas(v, t_x, t_y, max_neg_val=float(max_neg_val))
     elif implementation == "lax":
-        path = mas_lax(v, t_x, t_y)
+        path = mas_lax(v, t_x, t_y, max_neg_val=float(max_neg_val))
     elif implementation == "cpp":
         # Host-side native oracle — debugging / CPU-eager fallback. This
         # reintroduces the reference's host round-trip by construction;

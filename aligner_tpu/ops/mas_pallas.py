@@ -49,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_NEG_VAL = -1e9
 
 
-def _forward_kernel(val_ref, bits_ref, carry_ref):
+def _forward_kernel(val_ref, bits_ref, carry_ref,
+                    *, max_neg_val: float = MAX_NEG_VAL):
     chunk = val_ref.shape[0]
     B, T_x = carry_ref.shape
     i = pl.program_id(0)
@@ -71,9 +72,9 @@ def _forward_kernel(val_ref, bits_ref, carry_ref):
         col = val_ref[j]
         prev_shift = pltpu.roll(prev, 1, axis=1)  # prev[x-1]; x==0 masked
         x_is_y = x == y
-        v_cur = jnp.where(x_is_y, MAX_NEG_VAL, prev)
+        v_cur = jnp.where(x_is_y, max_neg_val, prev)
         v_prev = jnp.where(x_is_0,
-                           jnp.where(y == 0, 0.0, MAX_NEG_VAL),
+                           jnp.where(y == 0, 0.0, max_neg_val),
                            prev_shift)
         bits_ref[j] = ((x_is_y | (prev < prev_shift))
                        & x_gt_0).astype(jnp.int8)
@@ -84,7 +85,7 @@ def _forward_kernel(val_ref, bits_ref, carry_ref):
         # the diagonal terms drop out of both the max and the bits.
         col = val_ref[j]
         prev_shift = pltpu.roll(prev, 1, axis=1)
-        v_prev = jnp.where(x_is_0, MAX_NEG_VAL, prev_shift)
+        v_prev = jnp.where(x_is_0, max_neg_val, prev_shift)
         bits_ref[j] = ((prev < prev_shift) & x_gt_0).astype(jnp.int8)
         return jnp.maximum(prev, v_prev) + col
 
@@ -102,8 +103,8 @@ def _forward_kernel(val_ref, bits_ref, carry_ref):
         colB = val_ref[j + 1]
         r1 = pltpu.roll(prev, 1, axis=1)            # prev[x-1]
         r2 = pltpu.roll(prev, 2, axis=1)            # prev[x-2]
-        sel1 = jnp.where(x_is_0, MAX_NEG_VAL, r1)
-        sel2 = jnp.where(x_lt_2, MAX_NEG_VAL, r2)
+        sel1 = jnp.where(x_is_0, max_neg_val, r1)
+        sel2 = jnp.where(x_lt_2, max_neg_val, r2)
         rollA = pltpu.roll(colA, 1, axis=1)         # colA[x-1]
         m1 = jnp.where(x_is_0, colA, jnp.maximum(colA, rollA))
         a1 = jnp.where(x_is_0, 0.0, rollA)
@@ -210,16 +211,25 @@ def _pick_chunk(T_y: int, B: int = 32, T_x: int = 128,
     for c in (256, 128, 64, 32, 16, 8):
         if T_y % c == 0 and 2 * c * B * T_x * 4 <= budget_bytes:
             return c
-    return min(T_y, 8) if T_y % 8 == 0 else T_y
+    fallback = min(T_y, 8) if T_y % 8 == 0 else T_y
+    if 2 * fallback * B * T_x * 4 > budget_bytes:
+        raise ValueError(
+            f"MAS Pallas block of B*T_x={B}*{T_x}={B * T_x} f32 elements "
+            f"exceeds the {budget_bytes // 2**20} MB VMEM block budget even "
+            f"at the minimum frame chunk ({fallback}); split the batch "
+            f"(B*T_x must be <= {budget_bytes // (2 * fallback * 4)}) or "
+            f"use implementation='lax'.")
+    return fallback
 
 
-def mas_pallas_bits(value_tm, *, interpret: bool = False):
+def mas_pallas_bits(value_tm, *, interpret: bool = False,
+                    max_neg_val: float = MAX_NEG_VAL):
     """Forward sweep only: time-major value [T_y, B, T_x] -> int8 decision
     bits [T_y, B, T_x]. Length-independent (see module docstring)."""
     T_y, B, T_x = value_tm.shape
     chunk = _pick_chunk(T_y, B, T_x)
     return pl.pallas_call(
-        _forward_kernel,
+        functools.partial(_forward_kernel, max_neg_val=max_neg_val),
         grid=(T_y // chunk,),
         in_specs=[pl.BlockSpec((chunk, B, T_x), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -268,7 +278,8 @@ def _pad_frames(arr_tm):
     return arr_tm, T_y
 
 
-def mas_pallas_tm(value_tm, t_x, t_y, *, interpret: bool | None = None):
+def mas_pallas_tm(value_tm, t_x, t_y, *, interpret: bool | None = None,
+                  max_neg_val: float = MAX_NEG_VAL):
     """Time-major MAS: value [T_y, B, T_x] f32 -> int8 path [T_y, B, T_x].
 
     The transpose-free entry point for internal callers whose lattices are
@@ -278,13 +289,15 @@ def mas_pallas_tm(value_tm, t_x, t_y, *, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     value_tm, T_y = _pad_frames(value_tm)
-    bits = mas_pallas_bits(value_tm, interpret=interpret)
+    bits = mas_pallas_bits(value_tm, interpret=interpret,
+                           max_neg_val=max_neg_val)
     path = mas_pallas_backtrack(bits, t_x, t_y, interpret=interpret)
     return path[:T_y]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("interpret", "max_neg_val"))
+def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None,
+               max_neg_val: float = MAX_NEG_VAL):
     """Batched MAS paths on TPU via the Pallas column-sweep kernels.
 
     value: [B, T_x, T_y] float32 (log-prob lattice, padding arbitrary);
@@ -296,5 +309,6 @@ def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None):
     # Time-major layout: dynamic per-frame indexing lands on dim 0, which
     # has no TPU sublane/lane tiling constraint.
     vt = jnp.transpose(value.astype(jnp.float32), (2, 0, 1))
-    path_t = mas_pallas_tm(vt, t_x, t_y, interpret=interpret)
+    path_t = mas_pallas_tm(vt, t_x, t_y, interpret=interpret,
+                           max_neg_val=max_neg_val)
     return jnp.transpose(path_t, (1, 2, 0)).astype(jnp.float32)

@@ -27,6 +27,30 @@ class TrainState(train_state.TrainState):
     pass
 
 
+def _shard_opt_state(opt_state, params, param_shardings, mesh):
+    """Shard optimizer-state subtrees that mirror the param pytree (adam
+    mu/nu) exactly like the params; everything else (step counts, scalar
+    schedule state) is replicated. Keeps the moments co-located with
+    model-sharded params instead of resharding them every step."""
+    params_def = jax.tree_util.tree_structure(params)
+    rep = replicated(mesh)
+
+    def rec(node):
+        if jax.tree_util.tree_structure(node) == params_def:
+            return jax.device_put(node, param_shardings)
+        if isinstance(node, tuple):  # optax chains / NamedTuple states
+            children = [rec(c) for c in node]
+            return (type(node)(*children) if hasattr(node, "_fields")
+                    else tuple(children))
+        if isinstance(node, (list,)):
+            return [rec(c) for c in node]
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return jax.device_put(node, rep)
+
+    return rec(opt_state)
+
+
 def create_train_state(rng, model, example_batch, learning_rate: float = 1e-4,
                        weight_decay: float = 1e-6, mesh=None) -> TrainState:
     params = model.init(rng, example_batch["tokens"], example_batch["mel"],
@@ -37,10 +61,7 @@ def create_train_state(rng, model, example_batch, learning_rate: float = 1e-4,
     if mesh is not None:
         sh = shard_params(state.params, mesh)
         params = jax.device_put(state.params, sh)
-        opt_state = jax.device_put(
-            state.opt_state,
-            jax.tree.map(lambda _: replicated(mesh), state.opt_state,
-                         is_leaf=lambda x: isinstance(x, jnp.ndarray)))
+        opt_state = _shard_opt_state(state.opt_state, state.params, sh, mesh)
         state = state.replace(params=params, opt_state=opt_state)
     return state
 

@@ -55,13 +55,25 @@ def test_path_duration_roundtrip():
 
 def test_duration_loss_masked():
     pred = jnp.zeros((2, 4))
-    durs = jnp.asarray(np.array([[1, 1, 1, 9], [1, 1, 9, 9]], np.float32))
+    durs = jnp.asarray(np.array([[2, 2, 2, 9], [2, 2, 9, 9]], np.float32))
     tl = jnp.array([3, 2])
     # with masking, the 9s (padding) must not contribute: both rows are
-    # all-ones in the real region -> identical loss
+    # all-twos in the real region -> identical loss
     l = duration_loss(pred, durs, tl)
-    l_ref = float(jnp.log(2.0) ** 2)
+    # Glow-TTS/VITS convention: target = log(d + 1e-6)
+    l_ref = float(np.log(2.0 + 1e-6) ** 2)
     np.testing.assert_allclose(float(l), l_ref, rtol=1e-5)
+
+
+def test_durations_from_log_inverts_targets():
+    from aligner_tpu.ops.durations import durations_from_log
+
+    durs = jnp.asarray(np.array([[3, 1, 7, 0], [2, 5, 0, 0]], np.float32))
+    tl = jnp.array([3, 2])
+    target = jnp.log(durs + 1e-6)  # a perfect predictor's output
+    got = durations_from_log(target, tl)
+    want = np.array([[3, 1, 7, 0], [2, 5, 0, 0]], np.int32)
+    np.testing.assert_array_equal(np.asarray(got), want)
 
 
 def test_selected_loglik():

@@ -137,3 +137,53 @@ def test_loss_with_posteriors_consistency():
     g2 = jax.grad(lambda lp: forward_sum_loss_with_posteriors(
         lp, t_x, t_y)[1].sum())(logp)
     assert float(jnp.abs(g2).max()) == 0.0
+
+
+def test_inf_masked_inputs_are_safe():
+    """User-supplied -inf-masked log-probs must produce finite loss and
+    zero gradient at the -inf cells (VERDICT r1 item 6: the Pallas
+    dead-cell heuristic relied on _masked_logp's finite sentinel)."""
+    rng = np.random.default_rng(11)
+    B, T_y, T_x = 2, 6, 3
+    logp = np.log(rng.dirichlet(np.ones(T_x), (B, T_y))).astype(np.float32)
+    # user masks the last token of item 1 with a hard -inf
+    logp[1, :, 2] = -np.inf
+    t_x = jnp.array([3, 2], jnp.int32)
+    t_y = jnp.array([6, 5], jnp.int32)
+
+    def total(lp):
+        return forward_sum_loss(lp, t_x, t_y).sum()
+
+    loss, grad = jax.value_and_grad(total)(jnp.asarray(logp))
+    assert np.isfinite(float(loss))
+    g = np.asarray(grad)
+    assert np.isfinite(g).all()
+    assert (g[1, :, 2] == 0).all()  # no gradient into -inf cells
+    # and the -inf column doesn't change item 0's loss
+    per_item = forward_sum_loss(jnp.asarray(logp), t_x, t_y)
+    clean = forward_sum_loss(
+        jnp.asarray(np.where(np.isinf(logp), -1e15, logp)), t_x, t_y)
+    np.testing.assert_allclose(np.asarray(per_item), np.asarray(clean))
+
+
+def test_degenerate_lengths_defined_as_zero():
+    """t_x = 0, t_y = 0, or t_x > t_y: loss defined as 0, gradient 0
+    (documented divergence; the MAS oracles reject such lengths)."""
+    rng = np.random.default_rng(3)
+    logp = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(4), (3, 8))).astype(np.float32))
+    t_x = jnp.array([0, 4, 2], jnp.int32)   # 0; > t_y; valid
+    t_y = jnp.array([8, 3, 8], jnp.int32)
+
+    def total(lp):
+        return forward_sum_loss(lp, t_x, t_y).sum()
+
+    loss_items = forward_sum_loss(logp, t_x, t_y)
+    assert float(loss_items[0]) == 0.0
+    assert float(loss_items[1]) == 0.0
+    assert np.isfinite(float(loss_items[2])) and float(loss_items[2]) > 0
+    _, grad = jax.value_and_grad(total)(logp)
+    g = np.asarray(grad)
+    assert np.isfinite(g).all()
+    assert (g[0] == 0).all() and (g[1] == 0).all()
+    assert (g[2] != 0).any()

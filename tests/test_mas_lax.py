@@ -157,3 +157,42 @@ def test_inside_jit_and_grad_context():
 
     d = step(value)
     np.testing.assert_array_equal(np.asarray(d.sum(-1)), [16, 11])
+
+
+def test_max_neg_val_knob_matches_oracle():
+    """max_neg_val (core.pyx:40's one knob) is exposed through the whole
+    stack. With lattice values below a weak sentinel (-1e2) the DP masking
+    breaks down *identically* in oracle and kernels."""
+    from aligner_tpu.ops.mas import mas_lax, maximum_path
+    from aligner_tpu.ops.mas_reference import mas_single
+
+    rng = np.random.default_rng(5)
+    B, T_x, T_y = 3, 6, 10
+    # values straddling the weak sentinel so it actually matters
+    v = (rng.standard_normal((B, T_x, T_y)) * 200.0 - 150.0).astype(
+        np.float32)
+    t_x = np.array([6, 4, 1], np.int32)
+    t_y = np.array([10, 7, 5], np.int32)
+    for mnv in (-1e9, -1e2):
+        want = np.stack([
+            mas_single(v[i].copy(), int(t_x[i]), int(t_y[i]),
+                       max_neg_val=mnv) for i in range(B)])
+        got = np.asarray(mas_lax(jnp.asarray(v), jnp.asarray(t_x),
+                                 jnp.asarray(t_y), max_neg_val=mnv))
+        np.testing.assert_array_equal(got, want)
+    # the two sentinels genuinely disagree on this lattice
+    a = np.asarray(mas_lax(jnp.asarray(v), jnp.asarray(t_x),
+                           jnp.asarray(t_y), max_neg_val=-1e9))
+    b = np.asarray(mas_lax(jnp.asarray(v), jnp.asarray(t_x),
+                           jnp.asarray(t_y), max_neg_val=-1e2))
+    assert (a != b).any()
+    # and the drop-in wrapper accepts the kwarg
+    mask = ((np.arange(T_x)[None, :, None] < t_x[:, None, None])
+            & (np.arange(T_y)[None, None, :] < t_y[:, None, None])
+            ).astype(np.float32)
+    w = np.asarray(maximum_path(jnp.asarray(v), jnp.asarray(mask),
+                                implementation="lax", max_neg_val=-1e2))
+    np.testing.assert_array_equal(
+        w, np.asarray(maximum_path(jnp.asarray(v * mask),
+                                   jnp.asarray(mask), implementation="lax",
+                                   max_neg_val=-1e2)))

@@ -122,3 +122,19 @@ def test_multi_lane_tile_t_x():
     t_ys = np.maximum(t_xs, rng.integers(1, T_y + 1, B))
     np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
                                   oracle(value, t_xs, t_ys))
+
+
+def test_max_neg_val_kwarg_pallas_matches_lax():
+    from aligner_tpu.ops.mas import mas_lax
+    from aligner_tpu.ops.mas_pallas import mas_pallas
+
+    rng = np.random.default_rng(9)
+    v = (rng.standard_normal((2, 5, 8)) * 200.0 - 150.0).astype(np.float32)
+    t_x = jnp.array([5, 3], jnp.int32)
+    t_y = jnp.array([8, 6], jnp.int32)
+    for mnv in (-1e9, -1e2):
+        got = np.asarray(mas_pallas(jnp.asarray(v), t_x, t_y,
+                                    max_neg_val=mnv))
+        want = np.asarray(mas_lax(jnp.asarray(v), t_x, t_y,
+                                  max_neg_val=mnv))
+        np.testing.assert_array_equal(got, want)
