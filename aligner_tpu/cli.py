@@ -65,9 +65,12 @@ def build_parser():
                    help="also write one Praat TextGrid per utterance")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--limit", type=int, default=None)
-    p.add_argument("--dim", type=int, default=192)
-    p.add_argument("--hidden", type=int, default=256)
-    p.add_argument("--temperature", type=float, default=0.05)
+    # Model shape comes from the checkpoint's config.json (written at
+    # train time); explicit flags are only needed for pre-config
+    # checkpoints, and conflicting with config.json is an error.
+    p.add_argument("--dim", type=int, default=None)
+    p.add_argument("--hidden", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=None)
     return ap
 
 
@@ -229,6 +232,56 @@ def _file_model(args):
     return tok, model
 
 
+def _model_from_checkpoint(args):
+    """Rebuild the trained model from the checkpoint's config.json.
+
+    Explicit --dim/--hidden/--temperature flags must match config.json
+    when both are given (loud error on mismatch); for pre-config
+    checkpoints (no config.json) they are required."""
+    from .data import CharTokenizer
+    from .models import OTAAligner, OTAConfig
+    from .train.checkpoint import load_run_config
+
+    rec = load_run_config(args.checkpoint_dir)
+    overrides = {k: getattr(args, k) for k in
+                 ("dim", "hidden", "temperature")
+                 if getattr(args, k) is not None}
+    if rec is None:
+        missing = [k for k in ("dim", "hidden", "temperature")
+                   if getattr(args, k) is None]
+        if missing:
+            raise SystemExit(
+                f"{args.checkpoint_dir} has no config.json (pre-config "
+                f"checkpoint); pass --{' --'.join(missing)} matching the "
+                "training run")
+        tok = CharTokenizer()
+        return tok, OTAAligner(OTAConfig(
+            vocab_size=tok.vocab_size, dim=args.dim, hidden=args.hidden,
+            temperature=args.temperature))
+    cfg_dict = rec["model_config"]
+    conflicts = {k: (v, cfg_dict.get(k)) for k, v in overrides.items()
+                 if cfg_dict.get(k) != v}
+    if conflicts:
+        detail = ", ".join(f"--{k}={v} vs config.json {c}"
+                           for k, (v, c) in conflicts.items())
+        raise SystemExit(
+            f"flags conflict with the checkpoint's saved config "
+            f"({detail}); drop the flags — the checkpoint is "
+            "self-describing")
+    if rec.get("model_class", "OTA") not in ("OTA", "OTAAligner"):
+        raise SystemExit(
+            f"checkpoint holds a {rec['model_class']} model; `align` "
+            "currently drives the OTA aligner only")
+    tok = CharTokenizer()
+    cfg = OTAConfig(**cfg_dict)
+    if cfg.vocab_size != tok.vocab_size:
+        raise SystemExit(
+            f"checkpoint vocab_size {cfg.vocab_size} does not match the "
+            f"CharTokenizer ({tok.vocab_size}); was it trained with a "
+            "different tokenizer?")
+    return tok, OTAAligner(cfg)
+
+
 def cmd_train(args):
     import os as _os
 
@@ -246,7 +299,8 @@ def cmd_train(args):
     train_aligner(model, batches, steps=args.steps,
                   learning_rate=args.lr, bin_start=args.steps // 6,
                   bin_ramp=args.steps // 3,
-                  checkpoint_dir=args.checkpoint_dir)
+                  checkpoint_dir=args.checkpoint_dir,
+                  config_extra={"tokenizer": type(tok).__name__})
     print(f"checkpoints in {args.checkpoint_dir}")
 
 
@@ -264,7 +318,7 @@ def cmd_align(args):
         raise SystemExit(f"checkpoint dir not found: {args.checkpoint_dir}")
     if not _os.path.exists(_os.path.join(args.corpus, "metadata.csv")):
         raise SystemExit(f"no metadata.csv under {args.corpus}")
-    tok, model = _file_model(args)
+    tok, model = _model_from_checkpoint(args)
     items = list(load_corpus(args.corpus, limit=args.limit))
     if not items:
         raise SystemExit(f"no usable utterances under {args.corpus}")

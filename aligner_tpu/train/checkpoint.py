@@ -6,9 +6,40 @@ and multi-host-capable — to persist the full TrainState.
 """
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 
 import orbax.checkpoint as ocp
+
+CONFIG_FILENAME = "config.json"
+
+
+def save_run_config(directory: str, model_config, extra: dict | None = None):
+    """Persist the model config (a dataclass) next to the checkpoints so
+    `align`/restore is self-contained — no need to re-pass matching
+    --dim/--hidden/... flags (round-1 verdict item 4)."""
+    os.makedirs(os.path.abspath(directory), exist_ok=True)
+    rec = {
+        "model_class": type(model_config).__name__.removesuffix("Config"),
+        "model_config": dataclasses.asdict(model_config),
+    }
+    if extra:
+        rec.update(extra)
+    path = os.path.join(os.path.abspath(directory), CONFIG_FILENAME)
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    return path
+
+
+def load_run_config(directory: str) -> dict | None:
+    """The dict written by `save_run_config`, or None for pre-config
+    checkpoints."""
+    path = os.path.join(os.path.abspath(directory), CONFIG_FILENAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def save_checkpoint(directory: str, state, step: int | None = None,

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .checkpoint import save_checkpoint
+from .checkpoint import save_checkpoint, save_run_config
 from .step import create_train_state, make_train_step
 
 
@@ -18,10 +18,15 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
                   learning_rate: float = 3e-4, mesh=None,
                   bin_start: int = 500, bin_ramp: int = 2000,
                   log_every: int = 50, checkpoint_dir: str | None = None,
-                  checkpoint_every: int = 1000, log_fn=print):
+                  checkpoint_every: int = 1000, log_fn=print,
+                  config_extra: dict | None = None):
     """Train on an iterable of padded batch dicts (cycled). Returns the
-    final TrainState and a list of metric records."""
+    final TrainState and a list of metric records. When checkpointing,
+    the model config (and any `config_extra`, e.g. tokenizer info) is
+    serialized alongside so restore is self-contained."""
     batches = list(batches)
+    if checkpoint_dir is not None and hasattr(model, "config"):
+        save_run_config(checkpoint_dir, model.config, config_extra)
     first = {k: jnp.asarray(v) for k, v in batches[0].items()}
     state = create_train_state(jax.random.PRNGKey(0), model, first,
                                learning_rate=learning_rate, mesh=mesh)

@@ -33,9 +33,12 @@ def test_train_then_align_roundtrip(tmp_path, wav_corpus):
     main(["train", wav_corpus, "--steps", "3", "--batch-size", "4",
           "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24"])
     assert any(d.isdigit() for d in os.listdir(ckpt))
+    # config.json makes align self-contained: no shape flags needed
+    cfg = json.load(open(os.path.join(ckpt, "config.json")))
+    assert cfg["model_config"]["dim"] == 16
+    assert cfg["tokenizer"] == "CharTokenizer"
     main(["align", wav_corpus, "--checkpoint-dir", ckpt, "--output", out,
-          "--textgrid-dir", tg, "--batch-size", "4",
-          "--dim", "16", "--hidden", "24"])
+          "--textgrid-dir", tg, "--batch-size", "4"])
     recs = [json.loads(l) for l in open(out)]
     assert sorted(r["utt_id"] for r in recs) == ["u0", "u1", "u2", "u3"]
     for r in recs:
@@ -44,6 +47,15 @@ def test_train_then_align_roundtrip(tmp_path, wav_corpus):
     assert len(tgs) == 4
     text = open(os.path.join(tg, "u0.TextGrid")).read()
     assert 'class = "IntervalTier"' in text
+    # conflicting shape flags fail loudly instead of an opaque restore
+    with pytest.raises(SystemExit, match="conflict with the checkpoint"):
+        main(["align", wav_corpus, "--checkpoint-dir", ckpt,
+              "--output", out, "--dim", "32"])
+    # pre-config checkpoints (no config.json) demand explicit flags
+    os.remove(os.path.join(ckpt, "config.json"))
+    with pytest.raises(SystemExit, match="no config.json"):
+        main(["align", wav_corpus, "--checkpoint-dir", ckpt,
+              "--output", out])
 
 
 def test_align_missing_checkpoint_fails_fast(wav_corpus):
