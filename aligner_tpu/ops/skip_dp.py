@@ -1,0 +1,353 @@
+"""Skip-state lattice DPs — the primitive behind implicit pause modeling.
+
+The reference project's OTA branch exists to handle *implicit pauses*
+without explicit silence tokens in the transcript
+(/root/reference/README.md:21-25). The classic mechanism (CTC blanks,
+adapted to the monotonic-surjective alignment setting): interleave an
+optional, shared pause state between text tokens,
+
+    states  s = 0..T_s-1,  T_s = 2*t_x + 1
+    even s  → pause state (optional)
+    odd  s  → token (s-1)//2 (mandatory)
+
+and extend the column DP with a *move-2* transition that hops from token
+state s-2 directly to token state s, skipping the pause between them.
+Every alignment then decides per gap whether a pause absorbs frames or
+not — no silence tokens needed in the input.
+
+Two DPs share the structure (exactly like mas.py / forward_sum.py for
+the plain lattice):
+
+* `mas_skip_lax`   — Viterbi: max over moves {0, 1, 2}, hard path.
+* `forward_sum_skip_loss` — marginal NLL: logaddexp over the same moves,
+  with a custom VJP (posterior occupancy = gradient, one beta sweep).
+
+Transition rules (defined here — the reference has no pause code to be
+bit-identical to; conformance is against this module's NumPy oracle):
+
+* moves: stay (0), advance (1), skip (2); skip only into odd s >= 3.
+* start states {0, 1} (leading pause optional), end states
+  {T_s-2, T_s-1} (trailing pause optional), where T_s = 2*t_x + 1.
+* Viterbi ties prefer the smaller move (stay > advance > skip — each
+  candidate replaces only if strictly greater), matching the plain MAS
+  convention that transitions happen as early as possible; the end
+  state prefers the last *token* on a tie.
+* Ragged: per-item t_x, t_y; requires 1 <= t_x and t_y >= t_x (pauses
+  are skippable so t_y >= t_x suffices even though T_s > t_y may hold);
+  invalid items yield an all-zero path / loss 0, like the plain ops.
+
+Layouts match the plain ops: Viterbi takes state-major [B, T_s, T_y]
+(mas.py convention), the loss takes frame-major [B, T_y, T_s].
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_NEG_VAL = -1e9
+NEG = -1e15  # loss sentinel, matches forward_sum.NEG
+
+
+def n_states(t_x):
+    """Expanded state count T_s = 2*t_x + 1 (works on ints or arrays)."""
+    return 2 * t_x + 1
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracle (golden path for the conformance suite)
+# ---------------------------------------------------------------------------
+
+def mas_skip_single(value: np.ndarray, t_x: int, t_y: int,
+                    max_neg_val: float = MAX_NEG_VAL) -> np.ndarray:
+    """Viterbi over the pause-expanded lattice for one item.
+
+    value: [T_s_pad, T_y_pad] float32, rows 0..2*t_x are live states.
+    Returns an int32 0/1 path of value.shape (one state per frame).
+    """
+    if not (1 <= t_x <= t_y):
+        raise ValueError(f"need 1 <= t_x <= t_y, got {t_x}, {t_y}")
+    T_s = 2 * t_x + 1
+    if T_s > value.shape[0]:
+        raise ValueError(f"value has {value.shape[0]} state rows, "
+                         f"need 2*t_x+1 = {T_s}")
+    v = np.full((T_s, t_y), np.float32(max_neg_val), np.float32)
+    move = np.zeros((T_s, t_y), np.int8)
+    v[0, 0] = value[0, 0]
+    if T_s > 1:
+        v[1, 0] = value[1, 0]
+    for y in range(1, t_y):
+        for s in range(T_s):
+            best = v[s, y - 1]
+            m = 0
+            if s >= 1 and v[s - 1, y - 1] > best:
+                best = v[s - 1, y - 1]
+                m = 1
+            if s >= 3 and s % 2 == 1 and v[s - 2, y - 1] > best:
+                best = v[s - 2, y - 1]
+                m = 2
+            v[s, y] = np.float32(np.float32(best) + np.float32(value[s, y]))
+            move[s, y] = m
+    path = np.zeros(value.shape, np.int32)
+    s = T_s - 2 if T_s >= 2 else 0
+    if T_s >= 2 and v[T_s - 1, t_y - 1] > v[T_s - 2, t_y - 1]:
+        s = T_s - 1
+    for y in range(t_y - 1, -1, -1):
+        path[s, y] = 1
+        s -= move[s, y]
+    return path
+
+
+def forward_sum_skip_numpy(logp: np.ndarray, t_x: int, t_y: int) -> float:
+    """Log-marginal over all pause-optional monotonic alignments.
+
+    logp: [T_s_pad, T_y_pad] (state-major for symmetry with the oracle).
+    """
+    T_s = 2 * t_x + 1
+    a = np.full(T_s, -np.inf)
+    a[0] = logp[0, 0]
+    if T_s > 1:
+        a[1] = logp[1, 0]
+    for y in range(1, t_y):
+        nxt = np.full(T_s, -np.inf)
+        for s in range(T_s):
+            terms = [a[s]]
+            if s >= 1:
+                terms.append(a[s - 1])
+            if s >= 3 and s % 2 == 1:
+                terms.append(a[s - 2])
+            m = max(terms)
+            if m == -np.inf:
+                continue
+            nxt[s] = m + np.log(sum(np.exp(t - m) for t in terms)) \
+                + logp[s, y]
+        a = nxt
+    ends = [a[T_s - 1]] + ([a[T_s - 2]] if T_s >= 2 else [])
+    m = max(ends)
+    if m == -np.inf:
+        return -np.inf
+    return float(m + np.log(sum(np.exp(e - m) for e in ends)))
+
+
+# ---------------------------------------------------------------------------
+# lax Viterbi (CPU path + interpret oracle for the Pallas kernel)
+# ---------------------------------------------------------------------------
+
+def _mas_skip_single_lax(value, t_x, t_y, max_neg_val=MAX_NEG_VAL):
+    """value: [T_s, T_y] f32; returns 0/1 path [T_s, T_y] f32."""
+    T_s, T_y = value.shape
+    ss = jnp.arange(T_s, dtype=jnp.int32)
+    ts = 2 * t_x + 1
+    live = ss < ts
+    can_skip = (ss % 2 == 1) & (ss >= 3) & live
+    valid = (t_x >= 1) & (t_x <= t_y)
+
+    init = jnp.where((ss <= 1) & live, value[:, 0], max_neg_val)
+
+    def fwd(prev, inputs):
+        y, col = inputs
+        p1 = jnp.concatenate([prev[:1], prev[:-1]])
+        p2 = jnp.concatenate([prev[:2], prev[:-2]])
+        p1 = jnp.where(ss >= 1, p1, max_neg_val)
+        p2 = jnp.where(can_skip, p2, max_neg_val)
+        # ties prefer the smaller move: replace only if strictly greater
+        best = prev
+        m = jnp.zeros((T_s,), jnp.int8)
+        m = jnp.where(p1 > best, jnp.int8(1), m)
+        best = jnp.maximum(best, p1)
+        m = jnp.where(p2 > best, jnp.int8(2), m)
+        best = jnp.maximum(best, p2)
+        new = jnp.where(live, best + col, max_neg_val)
+        new = jnp.where(y < t_y, new, prev)
+        m = jnp.where(y < t_y, m, 0)
+        return new, m
+
+    ys = jnp.arange(1, T_y, dtype=jnp.int32)
+    final, moves = jax.lax.scan(fwd, init, (ys, value[:, 1:].T))
+    moves = jnp.concatenate([jnp.zeros((1, T_s), jnp.int8), moves])
+
+    # end state: last token (ts - 2) unless the trailing pause is
+    # strictly better
+    v_tok = final[jnp.maximum(ts - 2, 0)]
+    v_pause = final[ts - 1]
+    s0 = jnp.where(v_pause > v_tok, ts - 1, jnp.maximum(ts - 2, 0))
+
+    def bwd(s, inputs):
+        y, mv = inputs
+        active = (y < t_y) & valid
+        emit = jnp.where(active, (ss == s).astype(jnp.float32), 0.0)
+        s = s - jnp.where(active, mv[s].astype(jnp.int32), 0)
+        return s, emit
+
+    ys_all = jnp.arange(T_y, dtype=jnp.int32)
+    _, rows = jax.lax.scan(bwd, s0, (ys_all, moves), reverse=True)
+    return rows.T
+
+
+@functools.partial(jax.jit, static_argnames=("max_neg_val",))
+def mas_skip_lax(value, t_x, t_y, *, max_neg_val: float = MAX_NEG_VAL):
+    """Batched pause-aware Viterbi. value: [B, T_s, T_y] f32 (state-major,
+    T_s >= 2*max(t_x)+1); t_x, t_y: [B]. Returns 0/1 paths [B, T_s, T_y].
+    """
+    fn = functools.partial(_mas_skip_single_lax, max_neg_val=max_neg_val)
+    return jax.vmap(fn)(value.astype(jnp.float32), t_x, t_y)
+
+
+# ---------------------------------------------------------------------------
+# Forward-sum with skips (frame-major, custom VJP)
+# ---------------------------------------------------------------------------
+
+def _masked_logp_skip(log_probs, t_x):
+    B, T_y, T_s = log_probs.shape
+    ss = jnp.arange(T_s, dtype=jnp.int32)
+    ts = n_states(t_x)
+    log_probs = jnp.maximum(log_probs, NEG)  # -inf -> finite sentinel
+    return jnp.where(ss[None, None, :] < ts[:, None, None], log_probs, NEG)
+
+
+def _alpha_scan_skip(lp_tm, t_y):
+    """lp_tm: [T_y, B, T_s] pre-masked. Returns alpha [T_y, B, T_s]."""
+    T_y, B, T_s = lp_tm.shape
+    ss = jnp.arange(T_s, dtype=jnp.int32)
+    can_skip = (ss % 2 == 1) & (ss >= 3)
+    neg_col = jnp.full((B, 1), NEG, jnp.float32)
+    neg_col2 = jnp.full((B, 2), NEG, jnp.float32)
+    first = jnp.where(ss[None, :] <= 1, 0.0, NEG)
+    init = jnp.full((B, T_s), NEG, jnp.float32)
+
+    def step(prev, inputs):
+        y, col = inputs
+        p1 = jnp.concatenate([neg_col, prev[:, :-1]], axis=1)
+        p2 = jnp.concatenate([neg_col2, prev[:, :-2]], axis=1)
+        p2 = jnp.where(can_skip[None, :], p2, NEG)
+        inner = jnp.logaddexp(jnp.logaddexp(prev, p1), p2)
+        alpha = col + jnp.where(y == 0, first, inner)
+        alpha = jnp.where(y < t_y[:, None], alpha, prev)
+        return alpha, alpha
+
+    ys = jnp.arange(T_y, dtype=jnp.int32)
+    _, alphas = jax.lax.scan(step, init, (ys, lp_tm))
+    return alphas
+
+
+def _beta_scan_skip(lp_tm, t_x, t_y):
+    """beta[s, y] = log-mass of suffixes after (s, y) excluding lp[s, y].
+    Skip arcs leave odd (token) states s and land on s + 2."""
+    T_y, B, T_s = lp_tm.shape
+    ss = jnp.arange(T_s, dtype=jnp.int32)
+    ts = n_states(t_x)
+    # a skip OUT of s exists iff s is odd (token) and s + 2 < ts
+    skip_out = (ss[None, :] % 2 == 1) & (ss[None, :] + 2 < ts[:, None])
+    end_col = jnp.where((ss[None, :] == ts[:, None] - 1)
+                        | (ss[None, :] == ts[:, None] - 2), 0.0, NEG)
+    neg_col = jnp.full((B, 1), NEG, jnp.float32)
+    neg_col2 = jnp.full((B, 2), NEG, jnp.float32)
+
+    def step(nxt, inputs):
+        y, col_next = inputs
+        msg = nxt + col_next
+        m1 = jnp.concatenate([msg[:, 1:], neg_col], axis=1)
+        m2 = jnp.concatenate([msg[:, 2:], neg_col2], axis=1)
+        m2 = jnp.where(skip_out, m2, NEG)
+        beta = jnp.logaddexp(jnp.logaddexp(msg, m1), m2)
+        beta = jnp.where(y == t_y[:, None] - 1, end_col, beta)
+        beta = jnp.where(y < t_y[:, None], beta, nxt)
+        return beta, beta
+
+    ys = jnp.arange(T_y, dtype=jnp.int32)
+    lp_next = jnp.concatenate(
+        [lp_tm[1:], jnp.full((1, B, T_s), NEG, jnp.float32)], axis=0)
+    init = jnp.full((B, T_s), NEG, jnp.float32)
+    _, betas = jax.lax.scan(step, init, (ys, lp_next), reverse=True)
+    return betas
+
+
+def _valid_items_skip(t_x, t_y):
+    return (t_x >= 1) & (t_x <= t_y)
+
+
+def _total_from_alphas_skip(alphas, t_x):
+    B, T_s = alphas.shape[1], alphas.shape[2]
+    ss = jnp.arange(T_s, dtype=jnp.int32)
+    ts = n_states(t_x)
+    final = alphas[-1]
+    pick = ((ss[None, :] == ts[:, None] - 1)
+            | (ss[None, :] == ts[:, None] - 2))
+    picked = jnp.where(pick, final, NEG)
+    return jax.scipy.special.logsumexp(picked, axis=1)
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+@jax.custom_vjp
+def forward_sum_skip_loss(log_probs, t_x, t_y):
+    """NLL of the pause-optional monotonic alignment marginal.
+
+    log_probs: [B, T_y, T_s] frame-major over expanded states (T_s >=
+    2*max(t_x)+1), log-softmax over states (+ prior); -inf-safe. t_x is
+    the *token* count per item. Returns per-item loss [B]; invalid
+    lengths (t_x < 1 or t_x > t_y) give 0 with zero gradient.
+    """
+    loss, _ = _fss_fwd(log_probs, t_x, t_y)
+    return loss
+
+
+def _fss_fwd(log_probs, t_x, t_y):
+    lp = _masked_logp_skip(log_probs.astype(jnp.float32), t_x)
+    lp_tm = jnp.moveaxis(lp, 0, 1)
+    if _use_pallas():
+        from .skip_dp_pallas import forward_sum_skip_alpha_pallas
+        alphas = forward_sum_skip_alpha_pallas(lp_tm, t_y)
+    else:
+        alphas = _alpha_scan_skip(lp_tm, t_y)
+    valid = _valid_items_skip(t_x, t_y)
+    total = jnp.where(valid, _total_from_alphas_skip(alphas, t_x), 0.0)
+    return -total, (lp_tm, alphas, total, t_x, t_y)
+
+
+def _fss_bwd(res, g):
+    lp_tm, alphas, total, t_x, t_y = res
+    T_y, B, T_s = lp_tm.shape
+    valid = _valid_items_skip(t_x, t_y)
+    g = jnp.where(valid, g, 0.0)
+    if _use_pallas():
+        from .skip_dp_pallas import forward_sum_skip_gamma_pallas
+        gamma = forward_sum_skip_gamma_pallas(lp_tm, alphas, total,
+                                              t_x, t_y)
+    else:
+        betas = _beta_scan_skip(lp_tm, t_x, t_y)
+        gamma = jnp.exp(alphas + betas - total[None, :, None])
+        ys = jnp.arange(T_y, dtype=jnp.int32)
+        ss = jnp.arange(T_s, dtype=jnp.int32)
+        in_range = ((ys[:, None, None] < t_y[None, :, None])
+                    & (ss[None, None, :] < n_states(t_x)[None, :, None]))
+        gamma = jnp.where(in_range, gamma, 0.0)
+    gamma = jnp.where(valid[None, :, None], gamma, 0.0)
+    grad = -gamma * g[None, :, None]
+    return jnp.moveaxis(grad, 1, 0), None, None
+
+
+forward_sum_skip_loss.defvjp(_fss_fwd, _fss_bwd)
+
+
+def skip_posteriors(log_probs, t_x, t_y):
+    """Posterior state occupancy gamma [B, T_y, T_s] and the log-marginal
+    [B] (lax paths; diagnostics)."""
+    lp = _masked_logp_skip(log_probs.astype(jnp.float32), t_x)
+    lp_tm = jnp.moveaxis(lp, 0, 1)
+    alphas = _alpha_scan_skip(lp_tm, t_y)
+    betas = _beta_scan_skip(lp_tm, t_x, t_y)
+    valid = _valid_items_skip(t_x, t_y)
+    total = jnp.where(valid, _total_from_alphas_skip(alphas, t_x), 0.0)
+    gamma = jnp.exp(alphas + betas - total[None, :, None])
+    T_y_, B, T_s = lp_tm.shape
+    ys = jnp.arange(T_y_, dtype=jnp.int32)
+    ss = jnp.arange(T_s, dtype=jnp.int32)
+    in_range = ((ys[:, None, None] < t_y[None, :, None])
+                & (ss[None, None, :] < n_states(t_x)[None, :, None]))
+    gamma = jnp.where(in_range & valid[None, :, None], gamma, 0.0)
+    return jnp.moveaxis(gamma, 1, 0), total

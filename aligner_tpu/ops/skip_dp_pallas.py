@@ -1,0 +1,294 @@
+"""Pallas TPU kernels for the skip-state (implicit-pause) lattice DPs.
+
+Same architecture as mas_pallas.py / forward_sum_pallas.py — time-major
+[T_y, B, T_s] blocks, sequential frame grid, [B, T_s] VMEM carry — with
+one extra lane-roll per step for the move-2 (pause-skip) transition:
+
+* Viterbi forward emits an int8 move trit per cell (0 = stay, 1 =
+  advance, 2 = skip) instead of the plain kernel's single bit; ties
+  prefer the smaller move (strictly-greater replacement), matching
+  skip_dp.mas_skip_single exactly.
+* The backtrack walks the trits with the same elementwise one-hot
+  algebra as the plain kernel, now with two selected masks:
+      ind' = ind - s1 - s2 + roll(s1, -1) + roll(s2, -2).
+  Its start state ({T_s-2, T_s-1}, preferring the last token on ties)
+  is decided outside the kernel from the forward pass's final column.
+* forward-sum alpha / gamma kernels mirror forward_sum_pallas.py with
+  the third logaddexp arm; the gamma (beta+grad) sweep stays fused.
+
+Unlike the plain MAS forward kernel (length-independent by the band
+argument), the skip forward must freeze the carry past each item's t_y:
+the backtrack's start-state comparison reads the carry *at frame
+t_y - 1*, so t_y rides into the forward kernel as a broadcast input.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mas_pallas import _pad_frames, _pick_chunk
+
+MAX_NEG_VAL = -1e9
+NEG = -1e15
+
+
+def _skip_mask(B, T_s):
+    s = jax.lax.broadcasted_iota(jnp.int32, (B, T_s), 1)
+    return s, (s % 2 == 1) & (s >= 3)
+
+
+def _viterbi_fwd_kernel(ty_ref, val_ref, moves_ref, final_ref, carry_ref,
+                        *, max_neg_val: float):
+    chunk = val_ref.shape[0]
+    B, T_s = carry_ref.shape
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    ty = ty_ref[:]
+    s, can_skip = _skip_mask(B, T_s)
+    s_is_0 = s == 0
+    s_lt_2 = s < 2
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.full((B, T_s), max_neg_val, jnp.float32)
+
+    def body(j, prev):
+        y = i * chunk + j
+        col = val_ref[j]
+        p1 = jnp.where(s_is_0, max_neg_val, pltpu.roll(prev, 1, axis=1))
+        p2 = jnp.where(can_skip, pltpu.roll(prev, 2, axis=1), max_neg_val)
+        best1 = jnp.maximum(prev, p1)
+        best = jnp.maximum(best1, p2)
+        # move trit via f32 arithmetic (i8-valued selects hit Mosaic
+        # relayout limits at odd lane counts); ties prefer smaller moves
+        take2 = (p2 > best1).astype(jnp.float32)
+        take1 = (p1 > prev).astype(jnp.float32) * (1.0 - take2)
+        gate = ((y < ty) & (y != 0)).astype(jnp.float32)
+        moves_ref[j] = ((take1 + 2.0 * take2) * gate).astype(jnp.int8)
+        new = best + col
+        # y == 0: only the start states {0, 1} are live, no transitions.
+        new = jnp.where(y == 0,
+                        jnp.where(s_lt_2, col, max_neg_val), new)
+        # freeze past each item's last frame (the final column must be
+        # the carry at frame t_y - 1 for the start-state choice)
+        return jnp.where(y < ty, new, prev)
+
+    carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:],
+                                     unroll=True)
+
+    @pl.when(i == n - 1)
+    def _():
+        final_ref[:] = carry_ref[:]
+
+
+def _viterbi_bwd_kernel(ty_ref, ind0_ref, moves_ref, path_ref, ind_ref):
+    chunk = moves_ref.shape[0]
+    B, T_s = ind_ref.shape
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    ty = ty_ref[:]
+
+    @pl.when(i == 0)
+    def _():
+        ind_ref[:] = ind0_ref[:]
+
+    base = (n - 1 - i) * chunk
+
+    def body(jj, ind):
+        j = chunk - 1 - jj
+        y = base + j
+        active = (y < ty).astype(jnp.float32)
+        emit = ind * active
+        path_ref[j] = emit.astype(jnp.int8)
+        # decode the trit arithmetically in f32 (mv in {0, 1, 2}):
+        # b1 = mv*(2-mv), b2 = mv*(mv-1)/2 — avoids i8-mask selects.
+        mvf = moves_ref[j].astype(jnp.float32)
+        s1 = emit * (mvf * (2.0 - mvf))
+        s2 = emit * (mvf * (mvf - 1.0) * 0.5)
+        return (ind - s1 - s2
+                + pltpu.roll(s1, T_s - 1, axis=1)
+                + pltpu.roll(s2, max(T_s - 2, 0), axis=1))
+
+    ind_ref[:] = jax.lax.fori_loop(0, chunk, body, ind_ref[:],
+                                   unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "max_neg_val"))
+def mas_skip_pallas(value, t_x, t_y, *, interpret: bool | None = None,
+                    max_neg_val: float = MAX_NEG_VAL):
+    """Batched pause-aware Viterbi on TPU. value: [B, T_s, T_y] f32
+    (state-major, T_s >= 2*max(t_x)+1); t_x, t_y: [B] int32. Returns 0/1
+    paths [B, T_s, T_y] f32, identical to skip_dp.mas_skip_lax."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    B, T_s, T_y0 = value.shape
+    vt = jnp.transpose(value.astype(jnp.float32), (2, 0, 1))
+    vt, _ = _pad_frames(vt)
+    T_y = vt.shape[0]
+    chunk = _pick_chunk(T_y, B, T_s)
+    grid = T_y // chunk
+    ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None], (B, T_s))
+    len_spec = pl.BlockSpec((B, T_s), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    seq_spec = lambda ix: pl.BlockSpec((chunk, B, T_s), ix,
+                                       memory_space=pltpu.VMEM)
+    moves, final = pl.pallas_call(
+        functools.partial(_viterbi_fwd_kernel, max_neg_val=max_neg_val),
+        grid=(grid,),
+        in_specs=[len_spec, seq_spec(lambda i: (i, 0, 0))],
+        out_specs=(seq_spec(lambda i: (i, 0, 0)), len_spec),
+        out_shape=(jax.ShapeDtypeStruct((T_y, B, T_s), jnp.int8),
+                   jax.ShapeDtypeStruct((B, T_s), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((B, T_s), jnp.float32)],
+        interpret=interpret,
+    )(ty_b, vt)
+
+    # start state for the reverse walk: last token (2 t_x - 1) unless
+    # the trailing pause (2 t_x) is strictly better; invalid items
+    # (t_x < 1 or t_x > t_y) start with a zero indicator -> zero path.
+    ts = 2 * t_x.astype(jnp.int32) + 1
+    ss = jnp.arange(T_s, dtype=jnp.int32)[None, :]
+    v_tok = jnp.take_along_axis(
+        final, jnp.maximum(ts - 2, 0)[:, None], axis=1)[:, 0]
+    v_pause = jnp.take_along_axis(
+        final, jnp.maximum(ts - 1, 0)[:, None], axis=1)[:, 0]
+    s0 = jnp.where(v_pause > v_tok, ts - 1, jnp.maximum(ts - 2, 0))
+    valid = (t_x >= 1) & (t_x <= t_y)
+    ind0 = ((ss == s0[:, None]) & valid[:, None]).astype(jnp.float32)
+
+    rev = lambda i: (grid - 1 - i, 0, 0)
+    path = pl.pallas_call(
+        _viterbi_bwd_kernel,
+        grid=(grid,),
+        in_specs=[len_spec, len_spec, seq_spec(rev)],
+        out_specs=seq_spec(rev),
+        out_shape=jax.ShapeDtypeStruct((T_y, B, T_s), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((B, T_s), jnp.float32)],
+        interpret=interpret,
+    )(ty_b, ind0, moves)
+    return jnp.transpose(path[:T_y0], (1, 2, 0)).astype(jnp.float32)
+
+
+def _alpha_skip_kernel(ty_ref, lp_ref, alpha_ref, carry_ref):
+    chunk = lp_ref.shape[0]
+    B, T_s = carry_ref.shape
+    i = pl.program_id(0)
+    ty = ty_ref[:]
+    s, can_skip = _skip_mask(B, T_s)
+    s_is_0 = s == 0
+    first = jnp.where(s < 2, 0.0, NEG)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.full((B, T_s), NEG, jnp.float32)
+
+    def body(j, prev):
+        y = i * chunk + j
+        col = lp_ref[j]
+        p1 = jnp.where(s_is_0, NEG, pltpu.roll(prev, 1, axis=1))
+        p2 = jnp.where(can_skip, pltpu.roll(prev, 2, axis=1), NEG)
+        inner = jnp.logaddexp(jnp.logaddexp(prev, p1), p2)
+        alpha = col + jnp.where(y == 0, first, inner)
+        alpha = jnp.where(y < ty, alpha, prev)
+        alpha_ref[j] = alpha
+        return alpha
+
+    carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:],
+                                     unroll=True)
+
+
+def _gamma_skip_kernel(ts_ref, ty_ref, total_ref, lp_ref, alpha_ref,
+                       grad_ref, carry_ref):
+    """Fused beta sweep + posterior emission. Carry M[y] = lp[y] +
+    beta[y]. Skip arcs leave odd states s with s + 2 < ts."""
+    chunk = lp_ref.shape[0]
+    B, T_s = carry_ref.shape
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    ts = ts_ref[:]
+    ty = ty_ref[:]
+    total = total_ref[:]
+    s, _ = _skip_mask(B, T_s)
+    s_odd = s % 2 == 1
+    end_col = jnp.where((s == ts - 1) | (s == ts - 2), 0.0, NEG)
+    base = (n - 1 - i) * chunk
+
+    def body(jj, m_next):
+        j = chunk - 1 - jj
+        y = base + j
+        lp = lp_ref[j]
+        alpha = alpha_ref[j]
+        m1 = pltpu.roll(m_next, T_s - 1, axis=1)
+        m1 = jnp.where(s + 1 < ts, m1, NEG)
+        m2 = pltpu.roll(m_next, max(T_s - 2, 0), axis=1)
+        m2 = jnp.where(s_odd & (s + 2 < ts), m2, NEG)
+        beta = jnp.logaddexp(jnp.logaddexp(m_next, m1), m2)
+        beta = jnp.where(y == ty - 1, end_col, beta)
+        live = (y < ty) & (lp > 0.5 * NEG)
+        gamma = jnp.where(live, jnp.exp(alpha + beta - total), 0.0)
+        grad_ref[j] = gamma
+        m = lp + beta
+        m = jnp.where(m > 0.5 * NEG, m, NEG)
+        return jnp.where(y < ty, m, m_next)
+
+    carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:],
+                                     unroll=True)
+
+
+def forward_sum_skip_alpha_pallas(lp_tm, t_y, *, interpret: bool = False):
+    """lp_tm: [T_y, B, T_s] pre-masked log-probs. Returns alphas
+    [T_y, B, T_s] (frame t_y-1's column persists to the last row)."""
+    lp_tm, T_y0 = _pad_frames(lp_tm)
+    T_y, B, T_s = lp_tm.shape
+    chunk = _pick_chunk(T_y, B, T_s)
+    grid = T_y // chunk
+    ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None], (B, T_s))
+    len_spec = pl.BlockSpec((B, T_s), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    alphas = pl.pallas_call(
+        _alpha_skip_kernel,
+        grid=(grid,),
+        in_specs=[len_spec,
+                  pl.BlockSpec((chunk, B, T_s), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((chunk, B, T_s), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_y, B, T_s), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, T_s), jnp.float32)],
+        interpret=interpret,
+    )(ty_b, lp_tm)
+    return alphas[:T_y0]
+
+
+def forward_sum_skip_gamma_pallas(lp_tm, alphas, total, t_x, t_y,
+                                  *, interpret: bool = False):
+    """Posterior occupancy gamma [T_y, B, T_s] via the fused beta sweep."""
+    lp_tm, T_y0 = _pad_frames(lp_tm)
+    alphas, _ = _pad_frames(alphas)
+    T_y, B, T_s = lp_tm.shape
+    chunk = _pick_chunk(T_y, B, T_s)
+    grid = T_y // chunk
+    ts = (2 * t_x.astype(jnp.int32) + 1)
+    ts_b = jnp.broadcast_to(ts[:, None], (B, T_s))
+    ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None], (B, T_s))
+    total_b = jnp.broadcast_to(total.astype(jnp.float32)[:, None],
+                               (B, T_s))
+    len_spec = pl.BlockSpec((B, T_s), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    rev = lambda i: (grid - 1 - i, 0, 0)
+    seq = lambda: pl.BlockSpec((chunk, B, T_s), rev,
+                               memory_space=pltpu.VMEM)
+    gamma = pl.pallas_call(
+        _gamma_skip_kernel,
+        grid=(grid,),
+        in_specs=[len_spec, len_spec, len_spec, seq(), seq()],
+        out_specs=seq(),
+        out_shape=jax.ShapeDtypeStruct((T_y, B, T_s), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, T_s), jnp.float32)],
+        interpret=interpret,
+    )(ts_b, ty_b, total_b, lp_tm, alphas)
+    return gamma[:T_y0]
