@@ -38,6 +38,16 @@ def build_parser():
                                          "(reconstruction objective)")
     _common(p)
     p.add_argument("--max-duration", type=int, default=10)
+    p = sub.add_parser(
+        "demo-pauses",
+        help="implicit pause modeling on a silence-bearing corpus: "
+             "train the pause-aware OTA aligner vs the pause-blind one "
+             "and compare boundary/pause metrics")
+    _common(p)
+    p.add_argument("--temperature", type=float, default=0.1)
+    p.add_argument("--pause-prob", type=float, default=0.4)
+    p.add_argument("--skip-blind", action="store_true",
+                   help="train only the pause-aware model")
     p = sub.add_parser("bench-mas", help="single-chip MAS micro-benchmark")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--t-text", type=int, default=128)
@@ -122,6 +132,77 @@ def cmd_demo_ota(args):
             "duration_mae": round(float(np.mean([a["mae"] for a in accs])), 3),
             "boundary_f1_tol2": round(float(np.mean([a["f1"] for a in accs])), 3),
         }))
+
+
+def cmd_demo_pauses(args):
+    """The reference OTA branch's raison d'être, demonstrated: on
+    utterances with un-transcribed silences, the skip-state model
+    recovers token boundaries and pause slots that a pause-blind
+    aligner must absorb into neighbouring tokens."""
+    import jax.numpy as jnp
+
+    from .data import SyntheticConfig, bucket_batches, make_corpus
+    from .models import OTAAligner, OTAConfig
+    from .train.loop import train_aligner
+    from .utils.eval import pause_detection, token_boundary_f1
+
+    cfg = SyntheticConfig(seed=args.seed, max_tokens=16, max_duration=7,
+                          pause_prob=args.pause_prob)
+    corpus = make_corpus(args.utterances, cfg)
+    batches = list(bucket_batches(corpus, args.batch_size,
+                                  shuffle_seed=args.seed))
+
+    def train_and_eval(model_pauses: bool):
+        # use_recon anchors silence frames to the pause state (the pause
+        # key decodes to the silence spectrum; token keys can't) — the
+        # forward-sum alone leaves optional states in a collapsed local
+        # optimum. Enabled for both models for a fair comparison.
+        model = OTAAligner(OTAConfig(
+            vocab_size=cfg.vocab_size, n_mels=cfg.n_mels, dim=96,
+            hidden=128, temperature=args.temperature,
+            model_pauses=model_pauses, use_recon=True))
+        state, _ = train_aligner(
+            model, batches, steps=args.steps, learning_rate=args.lr,
+            bin_start=args.steps // 6, bin_ramp=args.steps // 3,
+            log_fn=lambda s: None)
+        f1s, pauses = [], []
+        for b in batches[:2]:
+            bj = {k: jnp.asarray(v) for k, v in b.items()}
+            out = model.apply({"params": state.params}, bj["tokens"],
+                              bj["mel"], bj["text_lengths"],
+                              bj["mel_lengths"])
+            for i in range(bj["tokens"].shape[0]):
+                item = _match_item(corpus, np.asarray(bj["tokens"][i]),
+                                   int(bj["text_lengths"][i]))
+                if item is None:
+                    continue
+                t_xi = len(item["tokens"])
+                pd = np.asarray(out["durations"][i])[:t_xi]
+                pp = (np.asarray(out["pause_durations"][i])[:t_xi + 1]
+                      if model_pauses else None)
+                f1s.append(token_boundary_f1(
+                    pd, item["durations"], pred_pauses=pp,
+                    true_pauses=item["pause_durations"],
+                    tolerance_frames=2)["f1"])
+                if model_pauses:
+                    pauses.append(pause_detection(
+                        pp, item["pause_durations"]))
+        rec = {"token_boundary_f1_tol2": round(float(np.mean(f1s)), 3)}
+        if pauses:
+            rec["pause_recall"] = round(float(np.mean(
+                [p["recall"] for p in pauses if p["n_true"]])), 3)
+            rec["pause_precision"] = round(float(np.mean(
+                [p["precision"] for p in pauses])), 3)
+            rec["pause_length_mae"] = round(float(np.mean(
+                [p["length_mae"] for p in pauses if p["n_true"]])), 3)
+        return rec
+
+    result = {"demo": "pauses", "pause_prob": args.pause_prob,
+              "steps": args.steps,
+              "pause_aware": train_and_eval(True)}
+    if not args.skip_blind:
+        result["pause_blind"] = train_and_eval(False)
+    print(json.dumps(result))
 
 
 def _match_item(corpus, tokens, t_x):
@@ -367,6 +448,8 @@ def main(argv=None):
         cmd_demo_ota(args)
     elif args.cmd == "demo-mobo":
         cmd_demo_mobo(args)
+    elif args.cmd == "demo-pauses":
+        cmd_demo_pauses(args)
     elif args.cmd == "bench-mas":
         cmd_bench_mas(args)
     elif args.cmd == "train":

@@ -24,6 +24,15 @@ class SyntheticConfig:
     max_duration: int = 8
     noise: float = 0.25
     seed: int = 0
+    # Implicit pauses: with probability `pause_prob` per token gap
+    # (including the utterance edges), insert a silence segment of
+    # [min_pause, max_pause] frames whose spectral prototype is the
+    # reserved row 0 (token ids start at 1). The *transcript* carries no
+    # silence tokens — recovering these segments is exactly the
+    # reference OTA branch's implicit-pause problem (README.md:21-25).
+    pause_prob: float = 0.0
+    min_pause: int = 2
+    max_pause: int = 6
 
 
 def prototypes(cfg: SyntheticConfig = SyntheticConfig()) -> np.ndarray:
@@ -47,13 +56,29 @@ def make_corpus(n_utterances: int, cfg: SyntheticConfig = SyntheticConfig()):
         t_x = int(rng.integers(cfg.min_tokens, cfg.max_tokens + 1))
         tokens = rng.integers(1, cfg.vocab_size, t_x).astype(np.int32)
         durs = rng.integers(cfg.min_duration, cfg.max_duration + 1, t_x)
-        segs = [np.repeat(protos[tok][None, :], d, axis=0)
-                for tok, d in zip(tokens, durs)]
+        pauses = np.zeros(t_x + 1, np.int32)
+        if cfg.pause_prob > 0:
+            hit = rng.random(t_x + 1) < cfg.pause_prob
+            pauses = np.where(
+                hit, rng.integers(cfg.min_pause, cfg.max_pause + 1,
+                                  t_x + 1), 0).astype(np.int32)
+        segs = []
+        for j, (tok, d) in enumerate(zip(tokens, durs)):
+            if pauses[j]:
+                segs.append(np.repeat(protos[0][None, :], pauses[j],
+                                      axis=0))
+            segs.append(np.repeat(protos[tok][None, :], d, axis=0))
+        if pauses[t_x]:
+            segs.append(np.repeat(protos[0][None, :], pauses[t_x],
+                                  axis=0))
         mel = np.concatenate(segs, axis=0)
         mel = mel + cfg.noise * rng.standard_normal(mel.shape) \
             .astype(np.float32)
-        out.append({"tokens": tokens, "mel": mel.astype(np.float32),
-                    "durations": durs.astype(np.int32)})
+        item = {"tokens": tokens, "mel": mel.astype(np.float32),
+                "durations": durs.astype(np.int32)}
+        if cfg.pause_prob > 0:
+            item["pause_durations"] = pauses
+        out.append(item)
     return out
 
 

@@ -50,6 +50,13 @@ class OTAConfig:
     # frame accuracy (same mechanism as the MoBo/RoMo reconstruction
     # objectives). Adds loss_recon to the outputs when True.
     use_recon: bool = False
+    # Implicit pause modeling — the reference OTA branch's stated goal
+    # (README.md:21-25): interleave an optional shared pause state
+    # between tokens (skip-state DP, ops/skip_dp.py) so silence frames
+    # align to pauses without silence tokens in the transcript. The
+    # attention/losses then run over 2*T_x+1 expanded states, and the
+    # outputs gain `pause_durations` [B, T_x+1].
+    model_pauses: bool = False
 
 
 class OTAAligner(nn.Module):
@@ -64,11 +71,26 @@ class OTAAligner(nn.Module):
         cfg = self.config
         B, T_x = tokens.shape
         T_y = mel.shape[1]
-        text_mask = sequence_mask(text_lengths, T_x)
         mel_mask = sequence_mask(mel_lengths, T_y)
 
+        text_mask = sequence_mask(text_lengths, T_x)
         keys = TextEncoder(cfg.vocab_size, cfg.dim, cfg.hidden,
                            name="text_encoder")(tokens, text_mask)
+        if cfg.model_pauses:
+            # ONE shared learned pause key, appended as an extra *label*
+            # after the conv encoder (interleaving pause ids before the
+            # encoder contaminates every gap's pause key with its
+            # neighbours' embeddings — measured to collapse pause usage).
+            # zeros init keeps it symmetric with the near-zero conv-
+            # initialised token keys under the -L2 energy.
+            pause_key = self.param(
+                "pause_key", nn.initializers.zeros, (cfg.dim,))
+            keys = jnp.concatenate(
+                [keys, jnp.broadcast_to(pause_key[None, None, :],
+                                        (B, 1, cfg.dim))], axis=1)
+            # label axis = T_x tokens + 1 pause class
+            text_mask = jnp.concatenate(
+                [text_mask, jnp.ones((B, 1), text_mask.dtype)], axis=1)
         queries = MelEncoder(cfg.dim, cfg.hidden,
                              name="mel_encoder")(mel, mel_mask)
 
@@ -82,39 +104,82 @@ class OTAAligner(nn.Module):
 
         # Mask padded text tokens before the softmax over text.
         energies = jnp.where(text_mask[:, None, :] > 0, energies, -1e9)
-        log_attn = jax.nn.log_softmax(energies, axis=-1)          # [B,T_y,T_x]
+        # Softmax over LABELS (tokens [+ pause class]), the CTC
+        # normalisation: the single pause class competes once per frame
+        # regardless of how many lattice states replicate it. A softmax
+        # over the 2*T_x+1 states instead hands the pause T_x+1 shares
+        # of attention against ~half the posterior mass, and the shared
+        # key is repelled from every query at once (measured collapse
+        # to zero pause occupancy within 30 steps).
+        log_attn = jax.nn.log_softmax(energies, axis=-1)
+        log_attn_labels = log_attn      # [B, T_y, T_x (+1)] — for recon
+
+        if cfg.model_pauses:
+            # Broadcast label log-probs onto the expanded state axis:
+            # token j -> state 2j+1, the pause class -> every even state.
+            la_tok = log_attn[:, :, :T_x]
+            la_pause = log_attn[:, :, T_x:]
+            T_s = 2 * T_x + 1
+            log_attn = (jnp.zeros((B, T_y, T_s), log_attn.dtype)
+                        .at[:, :, 1::2].set(la_tok)
+                        .at[:, :, 0::2].set(
+                            jnp.broadcast_to(la_pause,
+                                             (B, T_y, T_x + 1))))
 
         logp = log_attn
         if cfg.use_prior:
-            logp = logp + beta_binomial_log_prior(
+            prior = beta_binomial_log_prior(
                 text_lengths, mel_lengths, T_x, T_y, cfg.prior_omega)
+            if cfg.model_pauses:
+                from ..ops.skip_dp import expand_prior_to_states
+                prior = expand_prior_to_states(prior, text_lengths)
+            logp = logp + prior
 
-        fs = forward_sum_loss(logp, text_lengths, mel_lengths)
+        if cfg.model_pauses:
+            from ..ops.skip_dp import (forward_sum_skip_loss,
+                                       mas_skip_path_frame_major,
+                                       split_state_durations)
+            fs = forward_sum_skip_loss(logp, text_lengths, mel_lengths)
+            hard = mas_skip_path_frame_major(
+                jax.lax.stop_gradient(logp), text_lengths, mel_lengths,
+                implementation=("auto" if cfg.mas_implementation == "auto"
+                                else cfg.mas_implementation))
+        else:
+            fs = forward_sum_loss(logp, text_lengths, mel_lengths)
+            # Hard Viterbi binarisation on the prior-augmented lattice,
+            # non-differentiable (reference call stack §3.3).
+            hard = mas_path_frame_major(
+                jax.lax.stop_gradient(logp), text_lengths, mel_lengths,
+                implementation=cfg.mas_implementation)
         loss_forward_sum = jnp.mean(fs / jnp.maximum(mel_lengths, 1))
-
-        # Hard Viterbi binarisation on the prior-augmented lattice,
-        # non-differentiable by construction (reference call stack §3.3).
-        hard = mas_path_frame_major(
-            jax.lax.stop_gradient(logp), text_lengths, mel_lengths,
-            implementation=cfg.mas_implementation)
 
         # Binarisation (KL) loss: cross-entropy of the soft attention
         # against the hard path, per real frame.
         ce = -jnp.sum(hard * log_attn, axis=(1, 2))
         loss_bin = jnp.mean(ce / jnp.maximum(mel_lengths, 1))
 
-        durations = jnp.sum(hard, axis=1)                         # [B, T_x]
+        state_durations = jnp.sum(hard, axis=1)     # [B, T_x] or [B, T_s]
+        pause_durations = None
+        if cfg.model_pauses:
+            durations, pause_durations = split_state_durations(
+                state_durations)
+        else:
+            durations = state_durations
 
         loss_recon = 0.0
         if cfg.use_recon:
+            # Reconstruction runs over the label axis (tokens + pause
+            # class): the pause key decodes to the silence spectrum,
+            # anchoring silence frames to the pause class.
             decoded = nn.Dense(cfg.n_mels, name="mel_decoder")(keys)
-            recon = jnp.einsum("byx,bxd->byd", jnp.exp(log_attn), decoded)
+            recon = jnp.einsum("byx,bxd->byd", jnp.exp(log_attn_labels),
+                               decoded)
             frame_mask = mel_mask[..., None]
             loss_recon = (jnp.sum(frame_mask * (recon - mel) ** 2)
                           / jnp.maximum(frame_mask.sum(), 1.0)
                           / cfg.n_mels)
 
-        return {
+        out = {
             "loss_recon": loss_recon,
             "log_attn": log_attn,
             "logp_with_prior": logp,
@@ -123,3 +188,6 @@ class OTAAligner(nn.Module):
             "hard_path": hard,
             "durations": durations,
         }
+        if pause_durations is not None:
+            out["pause_durations"] = pause_durations
+        return out

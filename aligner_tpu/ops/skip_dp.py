@@ -334,6 +334,58 @@ def _fss_bwd(res, g):
 forward_sum_skip_loss.defvjp(_fss_fwd, _fss_bwd)
 
 
+def expand_tokens_with_pauses(tokens, text_lengths, pause_id: int):
+    """tokens [B, T_x] -> expanded ids [B, 2*T_x+1]: `pause_id` at even
+    slots, token j at slot 2j+1, zeros past each item's 2*t_x+1 states."""
+    B, T_x = tokens.shape
+    T_s = 2 * T_x + 1
+    ss = jnp.arange(T_s, dtype=jnp.int32)[None, :]
+    ts = n_states(text_lengths.astype(jnp.int32))[:, None]
+    exp = jnp.zeros((B, T_s), tokens.dtype).at[:, 1::2].set(tokens)
+    exp = jnp.where((ss % 2 == 0) & (ss < ts), pause_id, exp)
+    return jnp.where(ss < ts, exp, 0)
+
+
+def split_state_durations(state_durations):
+    """[B, T_s] per-state frame counts -> (token durations [B, T_x],
+    pause durations [B, T_x+1]); pause j precedes token j."""
+    return state_durations[:, 1::2], state_durations[:, 0::2]
+
+
+def expand_prior_to_states(log_prior, t_x):
+    """Map a token-axis prior [B, T_y, T_x] onto the expanded state axis
+    [B, T_y, 2*T_x+1]: state s inherits the prior of token min(s // 2,
+    t_x - 1) (a pause shares its following token's prior; the trailing
+    pause its preceding token's)."""
+    B, T_y, T_x = log_prior.shape
+    T_s = 2 * T_x + 1
+    ss = jnp.arange(T_s, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(ss // 2,
+                      jnp.maximum(t_x.astype(jnp.int32)[:, None] - 1, 0))
+    idx = jnp.broadcast_to(idx[:, None, :], (B, T_y, T_s))
+    return jnp.take_along_axis(log_prior, idx, axis=2)
+
+
+def mas_skip_path_frame_major(logp, t_x, t_y, *,
+                              implementation: str = "auto",
+                              max_neg_val: float = MAX_NEG_VAL):
+    """Hard pause-aware path in frame-major layout: logp [B, T_y, T_s]
+    -> 0/1 path [B, T_y, T_s] (Pallas on TPU, lax elsewhere)."""
+    if implementation == "auto":
+        implementation = ("pallas"
+                          if jax.default_backend() in ("tpu", "axon")
+                          else "lax")
+    v_sm = jnp.transpose(logp.astype(jnp.float32), (0, 2, 1))
+    if implementation == "pallas":
+        from .skip_dp_pallas import mas_skip_pallas
+        path = mas_skip_pallas(v_sm, t_x, t_y, max_neg_val=max_neg_val)
+    elif implementation == "lax":
+        path = mas_skip_lax(v_sm, t_x, t_y, max_neg_val=max_neg_val)
+    else:
+        raise ValueError(f"unknown implementation: {implementation!r}")
+    return jnp.transpose(path, (0, 2, 1))
+
+
 def skip_posteriors(log_probs, t_x, t_y):
     """Posterior state occupancy gamma [B, T_y, T_s] and the log-marginal
     [B] (lax paths; diagnostics)."""
