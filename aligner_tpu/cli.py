@@ -31,7 +31,10 @@ def build_parser():
     p = sub.add_parser("demo-ota", help="train the OTA aligner on the "
                                         "synthetic corpus")
     _common(p)
-    p.add_argument("--temperature", type=float, default=0.05)
+    # 0.15 + --recon + ~2000 steps is the measured headline recipe
+    # (boundary F1@2 = 0.992, docs/PERF.md); 0.05 was round-1's default
+    # and leaves ~2 frames of boundary blur.
+    p.add_argument("--temperature", type=float, default=0.15)
     p.add_argument("--recon", action="store_true",
                    help="enable the per-frame reconstruction auxiliary")
     p = sub.add_parser("demo-mobo", help="train the MoBo aligner "
