@@ -68,6 +68,14 @@ def build_parser():
     p.add_argument("--dim", type=int, default=192)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--temperature", type=float, default=0.05)
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--lr-schedule", choices=("constant", "cosine"),
+                   default="constant")
+    p.add_argument("--grad-clip", type=float, default=None,
+                   help="clip gradients by global norm")
+    p.add_argument("--eval-split", type=float, default=0.0,
+                   help="fraction of batches held out for validation "
+                        "(logged as val_* metrics)")
 
     p = sub.add_parser("align", help="emit durations for a wav corpus "
                                      "using a trained checkpoint")
@@ -380,11 +388,21 @@ def cmd_train(args):
         raise SystemExit(f"no usable utterances under {args.corpus}")
     print(f"loaded {len(items)} utterances")
     batches = list(bucket_batches(items, args.batch_size, shuffle_seed=0))
+    eval_batches = None
+    if args.eval_split > 0 and len(batches) > 1:
+        n_eval = max(1, int(round(args.eval_split * len(batches))))
+        n_eval = min(n_eval, len(batches) - 1)
+        eval_batches, batches = batches[:n_eval], batches[n_eval:]
+        print(f"holding out {n_eval} batches for validation")
     train_aligner(model, batches, steps=args.steps,
                   learning_rate=args.lr, bin_start=args.steps // 6,
                   bin_ramp=args.steps // 3,
                   checkpoint_dir=args.checkpoint_dir,
-                  config_extra={"tokenizer": type(tok).__name__})
+                  config_extra={"tokenizer": type(tok).__name__},
+                  warmup_steps=args.warmup_steps,
+                  lr_schedule=args.lr_schedule,
+                  grad_clip_norm=args.grad_clip,
+                  eval_batches=eval_batches)
     print(f"checkpoints in {args.checkpoint_dir}")
 
 
@@ -396,7 +414,7 @@ def cmd_align(args):
     import jax.numpy as jnp
 
     from .data import bucket_batches, load_corpus
-    from .train import create_train_state, restore_checkpoint
+    from .train import restore_params
 
     if not _os.path.isdir(args.checkpoint_dir):
         raise SystemExit(f"checkpoint dir not found: {args.checkpoint_dir}")
@@ -409,8 +427,12 @@ def cmd_align(args):
     batches = list(bucket_batches(items, args.batch_size,
                                   with_items=True))
     first = {k: jnp.asarray(v) for k, v in batches[0][0].items()}
-    state = create_train_state(jax.random.PRNGKey(0), model, first)
-    state = restore_checkpoint(args.checkpoint_dir, state)
+    # Params-only restore: align must not depend on the training run's
+    # optimizer/schedule choice (their opt_state pytrees differ).
+    params0 = model.init(jax.random.PRNGKey(0), first["tokens"],
+                         first["mel"], first["text_lengths"],
+                         first["mel_lengths"])["params"]
+    params = restore_params(args.checkpoint_dir, params0)
 
     apply_fn = jax.jit(lambda p, b: model.apply(
         {"params": p}, b["tokens"], b["mel"], b["text_lengths"],
@@ -423,7 +445,7 @@ def cmd_align(args):
     with open(args.output, "w") as f:
         for b, group in batches:
             bj = {k: jnp.asarray(v) for k, v in b.items()}
-            durs = apply_fn(state.params, bj)
+            durs = apply_fn(params, bj)
             import numpy as _np
             durs = _np.asarray(durs)
             for i, item in enumerate(group):

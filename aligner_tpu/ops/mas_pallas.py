@@ -1,7 +1,7 @@
 """Pallas TPU kernels for Monotonic Alignment Search.
 
 TPU-native replacement for the reference Cython DP (monotonic_align/
-core.pyx:9-45). Two kernels over a time-major [T_y, B, T_x] layout:
+core.pyx:9-45). Kernels over a time-major [T_y, B, T_x] layout:
 
 * **Forward sweep** — a sequential grid over mel-frame chunks; the previous
   cumulative column ([B, T_x] f32) lives in a VMEM scratch that persists
@@ -31,11 +31,23 @@ core.pyx:9-45). Two kernels over a time-major [T_y, B, T_x] layout:
   which keeps the inherently sequential backtrack fully vectorised over the
   batch with no host involvement.
 
-Lane shifts across token positions use `pltpu.roll` (non-negative shifts
-only, so -1 is expressed as T_x - 1); the x == 0 wraparound slot is always
-masked. Ties match the reference exactly (strict `<` in the bit predicate:
-ties keep the token, transitions happen as early as possible).
-Items with t_x > t_y (reference UB, core.pyx:32-35) return all-zero paths.
+* **Fused kernel** — when the whole int8 bit lattice fits a VMEM scratch
+  (T_y*B*T_x <= ~6 MB: every serving-size batch and the headline config),
+  forward and backtrack run as the two halves of ONE kernel's sequential
+  grid: steps [0, n) sweep value chunks left-to-right writing bits to the
+  scratch, steps [n, 2n) walk the scratch right-to-left emitting the path.
+  One launch instead of two, and the bit lattice never touches HBM. This
+  is the low-latency path for the B=1 serving regime (the two-kernel
+  pipeline's second launch + bits round-trip dominates at small B).
+
+Both pipelines share the per-step recurrence helpers below, so the
+bit-exactness rules (tie semantics, composed two-step algebra) live in
+exactly one place. Lane shifts across token positions use `pltpu.roll`
+(non-negative shifts only, so -1 is expressed as T_x - 1); the x == 0
+wraparound slot is always masked. Ties match the reference exactly
+(strict `<` in the bit predicate: ties keep the token, transitions happen
+as early as possible). Items with t_x > t_y (reference UB,
+core.pyx:32-35) return all-zero paths.
 """
 from __future__ import annotations
 
@@ -48,6 +60,105 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAX_NEG_VAL = -1e9
 
+# Whole-bit-lattice VMEM scratch budget for the fused kernel. Together
+# with the 4 MB double-buffered value-chunk budget (_pick_chunk) and the
+# path/state blocks this stays well under the ~16 MB/core VMEM.
+FUSED_BITS_BUDGET = 6 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Shared per-step recurrence algebra (used by both the chunked two-kernel
+# pipeline and the fused single-kernel pipeline — keep bit-exact).
+# ---------------------------------------------------------------------------
+
+def _fwd_step_full(prev, col, y, x, max_neg_val):
+    """One forward step for a frame with y < T_x (the diagonal cell x == y
+    exists). Returns (decision bits int8, new cumulative column)."""
+    prev_shift = pltpu.roll(prev, 1, axis=1)  # prev[x-1]; x==0 masked
+    x_is_y = x == y
+    v_cur = jnp.where(x_is_y, max_neg_val, prev)
+    v_prev = jnp.where(x == 0,
+                       jnp.where(y == 0, 0.0, max_neg_val),
+                       prev_shift)
+    bits = ((x_is_y | (prev < prev_shift)) & (x > 0)).astype(jnp.int8)
+    return bits, jnp.maximum(v_cur, v_prev) + col
+
+
+def _fwd_step_fast(prev, col, x, max_neg_val):
+    """One forward step for y >= T_x: x == y is impossible, so v_cur = prev
+    and the diagonal terms drop out of both the max and the bits."""
+    prev_shift = pltpu.roll(prev, 1, axis=1)
+    v_prev = jnp.where(x == 0, max_neg_val, prev_shift)
+    bits = ((prev < prev_shift) & (x > 0)).astype(jnp.int8)
+    return bits, jnp.maximum(prev, v_prev) + col
+
+
+def _fwd_pair_fast(prev, colA, colB, x, max_neg_val):
+    """Two composed forward steps (both frames y >= T_x). The shift-k
+    candidate coefficients depend only on the value columns, so the
+    critical dependency chain shrinks from 8 ops per 2 frames to 6.
+    Bit-exact: round(p + max(a, b)) == max(round(p+a), round(p+b)) because
+    f32 rounding is monotone, so distributing adds over the max tree
+    preserves every candidate's rounded value.
+    Returns (bitsA, bitsB, new cumulative column after both frames)."""
+    x_is_0 = x == 0
+    x_gt_0 = x > 0
+    r1 = pltpu.roll(prev, 1, axis=1)            # prev[x-1]
+    r2 = pltpu.roll(prev, 2, axis=1)            # prev[x-2]
+    sel1 = jnp.where(x_is_0, max_neg_val, r1)
+    sel2 = jnp.where(x < 2, max_neg_val, r2)
+    rollA = pltpu.roll(colA, 1, axis=1)         # colA[x-1]
+    m1 = jnp.where(x_is_0, colA, jnp.maximum(colA, rollA))
+    a1 = jnp.where(x_is_0, 0.0, rollA)
+    t0 = prev + colA
+    t1 = sel1 + m1
+    t2 = sel2 + a1
+    bitsA = ((prev < r1) & x_gt_0).astype(jnp.int8)
+    cmid = jnp.maximum(prev, sel1) + colA       # the skipped column
+    bitsB = ((cmid < pltpu.roll(cmid, 1, axis=1)) & x_gt_0).astype(jnp.int8)
+    return bitsA, bitsB, jnp.maximum(jnp.maximum(t1, t2), t0) + colB
+
+
+def _bt_step(ind, bits_col, y, ty, T_x):
+    """One backtrack step: emit the path row for frame y and advance the
+    one-hot indicator. Returns (path row f32, new indicator)."""
+    emit = ind * (y < ty).astype(jnp.float32)
+    s = emit * bits_col.astype(jnp.float32)
+    return emit, ind - s + pltpu.roll(s, T_x - 1, axis=1)
+
+
+def _bt_pair(ind, bits_hi, bits_lo, y_hi, ty, T_x):
+    """Two backtrack steps with the two-step walk *composed*: the per-step
+    update ind' = ind - s + roll(s, -1) (s = ind * bits) has a serial
+    dependency chain whose latency dominates at small batch; the composed
+    move-0/1/2 coefficients D0/D1/D2 depend only on the bit rows (off the
+    critical chain), so ind_{y-2} is 4 chained ops from ind_y instead of 8.
+    One-hot x {0,1} algebra in f32 — exact. roll(v, T_x - k) == shift left
+    by k; wrapped-in lanes are always zero because forward bits vanish at
+    x == 0 (and D2 at x <= 1). Requires T_x >= 2.
+    Returns (path row y_hi, path row y_hi - 1, new indicator)."""
+    a_hi = (y_hi < ty).astype(jnp.float32)
+    a_lo = (y_hi - 1 < ty).astype(jnp.float32)
+    b1 = bits_hi.astype(jnp.float32) * a_hi
+    b2 = bits_lo.astype(jnp.float32) * a_lo
+    b2s = pltpu.roll(b2, 1, axis=1)          # b2[x-1]
+    d1 = b1 * (1.0 - b2s) + (1.0 - b1) * b2  # move exactly one
+    d2 = b1 * b2s                            # move twice
+    path_hi = ind * a_hi
+    s1 = ind * b1
+    ind_mid = ind - s1 + pltpu.roll(s1, T_x - 1, axis=1)
+    path_lo = ind_mid * a_lo
+    m1 = ind * d1
+    m2 = ind * d2
+    new_ind = (ind - m1 - m2
+               + pltpu.roll(m1, T_x - 1, axis=1)
+               + pltpu.roll(m2, max(T_x - 2, 0), axis=1))
+    return path_hi, path_lo, new_ind
+
+
+# ---------------------------------------------------------------------------
+# Two-kernel pipeline (large lattices: bit lattice streams through HBM).
+# ---------------------------------------------------------------------------
 
 def _forward_kernel(val_ref, bits_ref, carry_ref,
                     *, max_neg_val: float = MAX_NEG_VAL):
@@ -60,62 +171,28 @@ def _forward_kernel(val_ref, bits_ref, carry_ref,
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
     x = jax.lax.broadcasted_iota(jnp.int32, (B, T_x), 1)
-    x_is_0 = x == 0
-    x_gt_0 = x > 0
 
     # The running cumulative column lives in vector registers across the
     # chunk (fori_loop carry); the VMEM scratch only persists it between
     # grid steps. This removes 8 VMEM ops per frame.
     def body_full(j, prev):
-        # Steps with y < T_x: the diagonal cell (x == y) exists.
-        y = i * chunk + j
-        col = val_ref[j]
-        prev_shift = pltpu.roll(prev, 1, axis=1)  # prev[x-1]; x==0 masked
-        x_is_y = x == y
-        v_cur = jnp.where(x_is_y, max_neg_val, prev)
-        v_prev = jnp.where(x_is_0,
-                           jnp.where(y == 0, 0.0, max_neg_val),
-                           prev_shift)
-        bits_ref[j] = ((x_is_y | (prev < prev_shift))
-                       & x_gt_0).astype(jnp.int8)
-        return jnp.maximum(v_cur, v_prev) + col
+        bits, new = _fwd_step_full(prev, val_ref[j], i * chunk + j, x,
+                                   max_neg_val)
+        bits_ref[j] = bits
+        return new
 
     def body_fast(j, prev):
-        # Steps with y >= T_x: x == y is impossible, so v_cur = prev and
-        # the diagonal terms drop out of both the max and the bits.
-        col = val_ref[j]
-        prev_shift = pltpu.roll(prev, 1, axis=1)
-        v_prev = jnp.where(x_is_0, max_neg_val, prev_shift)
-        bits_ref[j] = ((prev < prev_shift) & x_gt_0).astype(jnp.int8)
-        return jnp.maximum(prev, v_prev) + col
-
-    x_lt_2 = x < 2
+        bits, new = _fwd_step_fast(prev, val_ref[j], x, max_neg_val)
+        bits_ref[j] = bits
+        return new
 
     def pair_fast(jj, prev):
-        # Two composed recurrence steps (y >= T_x). The shift-k candidate
-        # coefficients depend only on the value columns, so the critical
-        # dependency chain shrinks from 8 ops per 2 frames to 6. Bit-exact:
-        # round(p + max(a, b)) == max(round(p+a), round(p+b)) because f32
-        # rounding is monotone, so distributing adds over the max tree
-        # preserves every candidate's rounded value.
         j = 2 * jj
-        colA = val_ref[j]
-        colB = val_ref[j + 1]
-        r1 = pltpu.roll(prev, 1, axis=1)            # prev[x-1]
-        r2 = pltpu.roll(prev, 2, axis=1)            # prev[x-2]
-        sel1 = jnp.where(x_is_0, max_neg_val, r1)
-        sel2 = jnp.where(x_lt_2, max_neg_val, r2)
-        rollA = pltpu.roll(colA, 1, axis=1)         # colA[x-1]
-        m1 = jnp.where(x_is_0, colA, jnp.maximum(colA, rollA))
-        a1 = jnp.where(x_is_0, 0.0, rollA)
-        t0 = prev + colA
-        t1 = sel1 + m1
-        t2 = sel2 + a1
-        bits_ref[j] = ((prev < r1) & x_gt_0).astype(jnp.int8)
-        cmid = jnp.maximum(prev, sel1) + colA       # the skipped column
-        bits_ref[j + 1] = ((cmid < pltpu.roll(cmid, 1, axis=1))
-                           & x_gt_0).astype(jnp.int8)
-        return jnp.maximum(jnp.maximum(t1, t2), t0) + colB
+        bitsA, bitsB, new = _fwd_pair_fast(prev, val_ref[j], val_ref[j + 1],
+                                           x, max_neg_val)
+        bits_ref[j] = bitsA
+        bits_ref[j + 1] = bitsB
+        return new
 
     @pl.when(i * chunk < T_x)
     def _():
@@ -151,41 +228,19 @@ def _backtrack_kernel(tx_ref, ty_ref, bits_ref, path_ref, ind_ref):
 
     base = (n - 1 - i) * chunk
 
-    # Two frames per iteration with the two-step walk *composed*: the
-    # per-step update ind' = ind - s + roll(s, -1) (s = ind * bits) has a
-    # serial dependency chain whose latency dominates at small batch; the
-    # composed move-0/1/2 coefficients D0/D1/D2 depend only on the bit
-    # rows (off the critical chain), so ind_{y-2} is 4 chained ops from
-    # ind_y instead of 8. One-hot x {0,1} algebra in f32 — exact.
-    # roll(v, T_x - k) == shift left by k; wrapped-in lanes are always
-    # zero because forward bits vanish at x == 0 (and D2 at x <= 1).
     def single_step(j, ind):
-        y = base + j
-        emit = ind * (y < ty).astype(jnp.float32)
+        emit, new = _bt_step(ind, bits_ref[j], base + j, ty, T_x)
         path_ref[j] = emit.astype(jnp.int8)
-        s = emit * bits_ref[j].astype(jnp.float32)
-        return ind - s + pltpu.roll(s, T_x - 1, axis=1)
+        return new
 
     def pair_body(jj, ind):
         j_hi = chunk - 1 - (chunk % 2) - 2 * jj
         j_lo = j_hi - 1
-        y_hi = base + j_hi
-        a_hi = (y_hi < ty).astype(jnp.float32)
-        a_lo = (y_hi - 1 < ty).astype(jnp.float32)
-        b1 = bits_ref[j_hi].astype(jnp.float32) * a_hi
-        b2 = bits_ref[j_lo].astype(jnp.float32) * a_lo
-        b2s = pltpu.roll(b2, 1, axis=1)          # b2[x-1]
-        d1 = b1 * (1.0 - b2s) + (1.0 - b1) * b2  # move exactly one
-        d2 = b1 * b2s                            # move twice
-        path_ref[j_hi] = (ind * a_hi).astype(jnp.int8)
-        s1 = ind * b1
-        ind_mid = ind - s1 + pltpu.roll(s1, T_x - 1, axis=1)
-        path_ref[j_lo] = (ind_mid * a_lo).astype(jnp.int8)
-        m1 = ind * d1
-        m2 = ind * d2
-        return (ind - m1 - m2
-                + pltpu.roll(m1, T_x - 1, axis=1)
-                + pltpu.roll(m2, max(T_x - 2, 0), axis=1))
+        p_hi, p_lo, new = _bt_pair(ind, bits_ref[j_hi], bits_ref[j_lo],
+                                   base + j_hi, ty, T_x)
+        path_ref[j_hi] = p_hi.astype(jnp.int8)
+        path_ref[j_lo] = p_lo.astype(jnp.int8)
+        return new
 
     ind = ind_ref[:]
     if chunk % 2:                     # static: odd chunks do the top
@@ -202,6 +257,107 @@ def _backtrack_kernel(tx_ref, ty_ref, bits_ref, path_ref, ind_ref):
             ind, unroll=True)
 
     ind_ref[:] = ind
+
+
+# ---------------------------------------------------------------------------
+# Fused single-kernel pipeline (bit lattice in VMEM; one launch).
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(tx_ref, ty_ref, val_ref, path_ref, bits_ref, state_ref,
+                  *, max_neg_val: float = MAX_NEG_VAL):
+    """Grid = (2n,): steps [0, n) forward over value chunks, steps [n, 2n)
+    backtrack over the VMEM bit lattice. `state_ref` is the forward carry
+    column during the first half and the one-hot backtrack indicator during
+    the second (same [B, T_x] f32 shape)."""
+    chunk, B, T_x = val_ref.shape
+    i = pl.program_id(0)
+    n = pl.num_programs(0) // 2
+    x = jax.lax.broadcasted_iota(jnp.int32, (B, T_x), 1)
+
+    # -- forward half --------------------------------------------------
+    @pl.when(i == 0)
+    def _():
+        state_ref[:] = jnp.zeros_like(state_ref)
+
+    # Clamp the traced chunk bases so the (predicated-off) other half never
+    # forms an out-of-range scratch index.
+    base_f = jnp.minimum(i, n - 1) * chunk
+
+    def body_full(j, prev):
+        bits, new = _fwd_step_full(prev, val_ref[j], base_f + j, x,
+                                   max_neg_val)
+        bits_ref[base_f + j] = bits
+        return new
+
+    def body_fast(j, prev):
+        bits, new = _fwd_step_fast(prev, val_ref[j], x, max_neg_val)
+        bits_ref[base_f + j] = bits
+        return new
+
+    def pair_fast(jj, prev):
+        j = 2 * jj
+        bitsA, bitsB, new = _fwd_pair_fast(prev, val_ref[j], val_ref[j + 1],
+                                           x, max_neg_val)
+        bits_ref[base_f + j] = bitsA
+        bits_ref[base_f + j + 1] = bitsB
+        return new
+
+    @pl.when((i < n) & (i * chunk < T_x))
+    def _():
+        state_ref[:] = jax.lax.fori_loop(0, chunk, body_full,
+                                         state_ref[:], unroll=True)
+
+    @pl.when((i < n) & (i * chunk >= T_x))
+    def _():
+        if chunk % 2 == 0 and T_x >= 2:
+            state_ref[:] = jax.lax.fori_loop(0, chunk // 2, pair_fast,
+                                             state_ref[:], unroll=True)
+        else:
+            state_ref[:] = jax.lax.fori_loop(0, chunk, body_fast,
+                                             state_ref[:], unroll=True)
+
+    # -- backtrack half -------------------------------------------------
+    tx = tx_ref[:]
+    ty = ty_ref[:]
+
+    @pl.when(i == n)
+    def _():
+        valid = (tx >= 1) & (tx <= ty)
+        state_ref[:] = ((x == tx - 1) & valid).astype(jnp.float32)
+
+    base_b = jnp.clip(2 * n - 1 - i, 0, n - 1) * chunk
+
+    def bt_single(j, ind):
+        emit, new = _bt_step(ind, bits_ref[base_b + j], base_b + j, ty, T_x)
+        path_ref[j] = emit.astype(jnp.int8)
+        return new
+
+    def bt_pair(jj, ind):
+        j_hi = chunk - 1 - (chunk % 2) - 2 * jj
+        j_lo = j_hi - 1
+        p_hi, p_lo, new = _bt_pair(ind, bits_ref[base_b + j_hi],
+                                   bits_ref[base_b + j_lo],
+                                   base_b + j_hi, ty, T_x)
+        path_ref[j_hi] = p_hi.astype(jnp.int8)
+        path_ref[j_lo] = p_lo.astype(jnp.int8)
+        return new
+
+    @pl.when(i >= n)
+    def _():
+        ind = state_ref[:]
+        if chunk % 2:
+            ind = bt_single(chunk - 1, ind)
+        if T_x >= 2:
+            ind = jax.lax.fori_loop(0, chunk // 2, bt_pair, ind,
+                                    unroll=True)
+        else:
+            ind = jax.lax.fori_loop(
+                0, chunk // 2,
+                lambda jj, ind: bt_single(
+                    chunk - 1 - (chunk % 2) - 2 * jj - 1,
+                    bt_single(chunk - 1 - (chunk % 2) - 2 * jj, ind)),
+                ind, unroll=True)
+        state_ref[:] = ind
 
 
 def _pick_chunk(T_y: int, B: int = 32, T_x: int = 128,
@@ -267,6 +423,41 @@ def mas_pallas_backtrack(bits, t_x, t_y, *, interpret: bool = False):
     )(tx_b, ty_b, bits)
 
 
+def mas_pallas_fused_tm(value_tm, t_x, t_y, *, interpret: bool = False,
+                        max_neg_val: float = MAX_NEG_VAL):
+    """Single-launch MAS: time-major value [T_y, B, T_x] (T_y a multiple
+    of 8) -> int8 path [T_y, B, T_x], with the bit lattice held in VMEM.
+    Caller must ensure T_y*B*T_x fits FUSED_BITS_BUDGET."""
+    T_y, B, T_x = value_tm.shape
+    chunk = _pick_chunk(T_y, B, T_x)
+    n = T_y // chunk
+    tx_b = jnp.broadcast_to(t_x.astype(jnp.int32)[:, None], (B, T_x))
+    ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None], (B, T_x))
+    len_spec = pl.BlockSpec((B, T_x), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    # Forward steps read value chunk i; backtrack steps keep the last
+    # chunk resident (no further DMAs). The path block stays on the last
+    # chunk through the whole forward half (never flushed mid-garbage:
+    # Pallas only writes a block out when its index changes), then follows
+    # the backtrack right-to-left — exactly one HBM write per chunk.
+    val_map = lambda i: (jnp.minimum(i, n - 1), 0, 0)
+    path_map = lambda i: (jnp.clip(2 * n - 1 - i, 0, n - 1), 0, 0)
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, max_neg_val=max_neg_val),
+        grid=(2 * n,),
+        in_specs=[
+            len_spec, len_spec,
+            pl.BlockSpec((chunk, B, T_x), val_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, B, T_x), path_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_y, B, T_x), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((T_y, B, T_x), jnp.int8),
+                        pltpu.VMEM((B, T_x), jnp.float32)],
+        interpret=interpret,
+    )(tx_b, ty_b, value_tm)
+
+
 def _pad_frames(arr_tm):
     """Pad the leading (frame) axis to a multiple of 8 so the chunk picker
     always finds a VMEM-sized divisor (odd T_y would otherwise fall back
@@ -279,25 +470,42 @@ def _pad_frames(arr_tm):
 
 
 def mas_pallas_tm(value_tm, t_x, t_y, *, interpret: bool | None = None,
-                  max_neg_val: float = MAX_NEG_VAL):
+                  max_neg_val: float = MAX_NEG_VAL,
+                  fuse: bool | None = None):
     """Time-major MAS: value [T_y, B, T_x] f32 -> int8 path [T_y, B, T_x].
 
     The transpose-free entry point for internal callers whose lattices are
     naturally mel-major (e.g. the OTA aligner's attention is [B, T_mel,
     T_text]); the public `maximum_path` wraps this with layout conversion.
+
+    fuse: None picks the single-launch fused kernel whenever the bit
+    lattice fits its VMEM budget (always at serving sizes); True/False
+    force the choice (True raises if it cannot fit).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     value_tm, T_y = _pad_frames(value_tm)
-    bits = mas_pallas_bits(value_tm, interpret=interpret,
-                           max_neg_val=max_neg_val)
-    path = mas_pallas_backtrack(bits, t_x, t_y, interpret=interpret)
+    T_y_pad, B, T_x = value_tm.shape
+    fits = T_y_pad * B * T_x <= FUSED_BITS_BUDGET
+    if fuse is True and not fits:
+        raise ValueError(
+            f"fused MAS bit lattice T_y*B*T_x = {T_y_pad}*{B}*{T_x} "
+            f"exceeds the {FUSED_BITS_BUDGET // 2**20} MB VMEM scratch "
+            f"budget; use fuse=False/None.")
+    if fuse or (fuse is None and fits):
+        path = mas_pallas_fused_tm(value_tm, t_x, t_y, interpret=interpret,
+                                   max_neg_val=max_neg_val)
+    else:
+        bits = mas_pallas_bits(value_tm, interpret=interpret,
+                               max_neg_val=max_neg_val)
+        path = mas_pallas_backtrack(bits, t_x, t_y, interpret=interpret)
     return path[:T_y]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "max_neg_val"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "max_neg_val", "fuse"))
 def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None,
-               max_neg_val: float = MAX_NEG_VAL):
+               max_neg_val: float = MAX_NEG_VAL, fuse: bool | None = None):
     """Batched MAS paths on TPU via the Pallas column-sweep kernels.
 
     value: [B, T_x, T_y] float32 (log-prob lattice, padding arbitrary);
@@ -310,5 +518,5 @@ def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None,
     # has no TPU sublane/lane tiling constraint.
     vt = jnp.transpose(value.astype(jnp.float32), (2, 0, 1))
     path_t = mas_pallas_tm(vt, t_x, t_y, interpret=interpret,
-                           max_neg_val=max_neg_val)
+                           max_neg_val=max_neg_val, fuse=fuse)
     return jnp.transpose(path_t, (1, 2, 0)).astype(jnp.float32)

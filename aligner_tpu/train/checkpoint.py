@@ -65,3 +65,29 @@ def restore_checkpoint(directory: str, target, step: int | None = None):
         step = max(steps)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.join(directory, str(step)), target)
+
+
+def restore_params(directory: str, params_target, step: int | None = None):
+    """Restore only the `params` subtree of a saved TrainState.
+
+    Inference consumers (e.g. `aligner-tpu align`) don't know — and must
+    not need to know — which optimizer/schedule the training run used:
+    the opt_state pytree differs between a float LR, a schedule, and a
+    clipping chain, and a full-TrainState restore would reject the
+    mismatch. `params_target` is a concrete or abstract params pytree.
+    """
+    directory = os.path.abspath(directory)
+    if step is None:
+        steps = [int(d) for d in os.listdir(directory) if d.isdigit()]
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+        step = max(steps)
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(
+        os.path.join(directory, str(step)),
+        args=ocp.args.PyTreeRestore(
+            item={"params": params_target},
+            restore_args=ocp.checkpoint_utils.construct_restore_args(
+                {"params": params_target}),
+            partial_restore=True))
+    return restored["params"]

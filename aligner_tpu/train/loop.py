@@ -1,6 +1,7 @@
 """Training loop: bucketed batches, per-shape jit caching, metrics,
-periodic checkpointing. The reference has no training loop (SURVEY.md §5);
-this is the K8 integration layer driven by the demo CLI."""
+LR schedules, gradient clipping, periodic validation and checkpointing.
+The reference has no training loop (SURVEY.md §5); this is the K8
+integration layer driven by the demo CLI."""
 from __future__ import annotations
 
 import time
@@ -11,7 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .checkpoint import save_checkpoint, save_run_config
-from .step import create_train_state, make_train_step
+from .step import (create_train_state, make_eval_step, make_lr_schedule,
+                   make_train_step)
 
 
 def train_aligner(model, batches: Iterable[dict], *, steps: int,
@@ -19,19 +21,50 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
                   bin_start: int = 500, bin_ramp: int = 2000,
                   log_every: int = 50, checkpoint_dir: str | None = None,
                   checkpoint_every: int = 1000, log_fn=print,
-                  config_extra: dict | None = None):
+                  config_extra: dict | None = None,
+                  warmup_steps: int = 0, lr_schedule: str = "constant",
+                  grad_clip_norm: float | None = None,
+                  eval_batches: Iterable[dict] | None = None,
+                  eval_every: int | None = None):
     """Train on an iterable of padded batch dicts (cycled). Returns the
     final TrainState and a list of metric records. When checkpointing,
     the model config (and any `config_extra`, e.g. tokenizer info) is
-    serialized alongside so restore is self-contained."""
+    serialized alongside so restore is self-contained.
+
+    lr_schedule: "constant" or "cosine" (warmup + cosine decay over
+    `steps`); warmup_steps: linear warmup length; grad_clip_norm: global
+    gradient-norm clip (None = off). eval_batches: held-out batches; the
+    training objective is evaluated on them every `eval_every` steps
+    (default: log_every * 4) and logged as val_* metrics.
+    """
     batches = list(batches)
     if checkpoint_dir is not None and hasattr(model, "config"):
         save_run_config(checkpoint_dir, model.config, config_extra)
+    if lr_schedule == "constant" and warmup_steps <= 0:
+        # Keep the optimizer-state pytree identical to the default
+        # create_train_state (a float LR, no ScaleByScheduleState) so
+        # checkpoints stay restorable by consumers that build the
+        # default state (e.g. `aligner-tpu align`).
+        schedule = None
+        lr_arg = learning_rate
+    else:
+        schedule = make_lr_schedule(learning_rate,
+                                    warmup_steps=warmup_steps,
+                                    decay_steps=steps,
+                                    schedule=lr_schedule)
+        lr_arg = schedule
     first = {k: jnp.asarray(v) for k, v in batches[0].items()}
     state = create_train_state(jax.random.PRNGKey(0), model, first,
-                               learning_rate=learning_rate, mesh=mesh)
+                               learning_rate=lr_arg, mesh=mesh,
+                               grad_clip_norm=grad_clip_norm)
     step_fn = make_train_step(model, mesh=mesh, bin_start=bin_start,
                               bin_ramp=bin_ramp, donate=False)
+    eval_batches = list(eval_batches) if eval_batches else None
+    eval_fn = (make_eval_step(model, mesh=mesh, bin_start=bin_start,
+                              bin_ramp=bin_ramp)
+               if eval_batches else None)
+    if eval_every is None:
+        eval_every = log_every * 4
     history = []
     t0 = time.time()
     i = 0
@@ -44,14 +77,28 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
             i += 1
             if i % log_every == 0 or i == steps:
                 rec = {k: float(v) for k, v in metrics.items()}
-                rec.update(step=i, wall_s=round(time.time() - t0, 1))
+                rec.update(step=i, wall_s=round(time.time() - t0, 1),
+                           lr=(float(schedule(i)) if schedule is not None
+                               else learning_rate))
                 history.append(rec)
                 detail = "  ".join(
                     f"{k.removeprefix('loss_')} {v:8.4f}"
                     for k, v in rec.items()
-                    if k not in ("loss", "step", "wall_s") )
+                    if k not in ("loss", "step", "wall_s", "lr"))
                 log_fn(f"step {i:6d}  loss {rec['loss']:8.4f}  "
                        f"{detail}  [{rec['wall_s']}s]")
+            if eval_fn and (i % eval_every == 0 or i == steps):
+                vals = []
+                for eb in eval_batches:
+                    ebj = {k: jnp.asarray(v) for k, v in eb.items()}
+                    vals.append({k: float(v)
+                                 for k, v in eval_fn(state, ebj).items()})
+                val = {f"val_{k}": float(np.mean([v[k] for v in vals]))
+                       for k in vals[0]}
+                val["step"] = i
+                history.append(val)
+                log_fn(f"step {i:6d}  val_loss {val['val_loss']:8.4f}  "
+                       f"val_fs {val.get('val_loss_forward_sum', 0.0):8.4f}")
             if checkpoint_dir and i % checkpoint_every == 0:
                 save_checkpoint(checkpoint_dir, state)
     if checkpoint_dir:

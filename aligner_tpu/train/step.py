@@ -51,12 +51,46 @@ def _shard_opt_state(opt_state, params, param_shardings, mesh):
     return rec(opt_state)
 
 
-def create_train_state(rng, model, example_batch, learning_rate: float = 1e-4,
-                       weight_decay: float = 1e-6, mesh=None) -> TrainState:
+def make_lr_schedule(learning_rate: float, *, warmup_steps: int = 0,
+                     decay_steps: int | None = None,
+                     schedule: str = "constant",
+                     final_scale: float = 0.1):
+    """Learning-rate schedule factory.
+
+    schedule: "constant" (optionally with linear warmup) or "cosine"
+    (linear warmup -> cosine decay to final_scale * learning_rate over
+    decay_steps). Returns an optax schedule (callable step -> lr).
+    """
+    if schedule == "constant":
+        if warmup_steps <= 0:
+            return optax.constant_schedule(learning_rate)
+        return optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    if schedule == "cosine":
+        if decay_steps is None:
+            raise ValueError("cosine schedule requires decay_steps")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=learning_rate,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=max(decay_steps, warmup_steps + 1),
+            end_value=final_scale * learning_rate)
+    raise ValueError(f"unknown schedule: {schedule!r}")
+
+
+def create_train_state(rng, model, example_batch, learning_rate=1e-4,
+                       weight_decay: float = 1e-6, mesh=None,
+                       grad_clip_norm: float | None = None) -> TrainState:
+    """Init params and the optimizer.
+
+    learning_rate: float (constant) or an optax schedule from
+    make_lr_schedule. grad_clip_norm: clip gradients by global norm
+    before the adamw update (None = no clipping).
+    """
     params = model.init(rng, example_batch["tokens"], example_batch["mel"],
                         example_batch["text_lengths"],
                         example_batch["mel_lengths"])["params"]
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    if grad_clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     if mesh is not None:
         sh = shard_params(state.params, mesh)
@@ -86,19 +120,8 @@ def make_train_step(model, mesh=None, *, bin_start: int = 1000,
     RoMoAligner `lambda out, _: (out["loss"], {})`.
     """
 
-    def default_objective(out, step_no):
-        w_bin = bin_loss_weight(step_no, bin_start, bin_ramp)
-        loss = (out["loss_forward_sum"] + w_bin * out["loss_bin"]
-                + recon_weight * out.get("loss_recon", 0.0))
-        return loss, {
-            "loss_forward_sum": out["loss_forward_sum"],
-            "loss_bin": out["loss_bin"],
-            "bin_weight": w_bin,
-            "mean_max_attn": jnp.mean(
-                jnp.max(jnp.exp(out["log_attn"]), axis=-1)),
-        }
-
-    obj = objective or default_objective
+    obj = objective or make_default_objective(bin_start, bin_ramp,
+                                              recon_weight)
 
     def step(state: TrainState, batch: dict[str, Any]):
         def loss_fn(params):
@@ -120,3 +143,45 @@ def make_train_step(model, mesh=None, *, bin_start: int = 1000,
     data = batch_sharding(mesh)
     return jax.jit(step, in_shardings=(None, data),
                    donate_argnums=donate_argnums)
+
+
+def make_default_objective(bin_start: int = 1000, bin_ramp: int = 10000,
+                           recon_weight: float = 1.0):
+    """The OTA loss schedule as a standalone objective(out, step) — shared
+    by make_train_step and make_eval_step so validation uses the same
+    weighting as training at the current step."""
+
+    def objective(out, step_no):
+        w_bin = bin_loss_weight(step_no, bin_start, bin_ramp)
+        loss = (out["loss_forward_sum"] + w_bin * out["loss_bin"]
+                + recon_weight * out.get("loss_recon", 0.0))
+        return loss, {
+            "loss_forward_sum": out["loss_forward_sum"],
+            "loss_bin": out["loss_bin"],
+            "bin_weight": w_bin,
+            "mean_max_attn": jnp.mean(
+                jnp.max(jnp.exp(out["log_attn"]), axis=-1)),
+        }
+
+    return objective
+
+
+def make_eval_step(model, mesh=None, *, bin_start: int = 1000,
+                   bin_ramp: int = 10000, recon_weight: float = 1.0,
+                   objective=None):
+    """Returns eval(state, batch) -> metrics: the training objective
+    evaluated at the state's current step, no gradient, no update."""
+    obj = objective or make_default_objective(bin_start, bin_ramp,
+                                              recon_weight)
+
+    def evaluate(state: TrainState, batch: dict[str, Any]):
+        out = model.apply({"params": state.params}, batch["tokens"],
+                          batch["mel"], batch["text_lengths"],
+                          batch["mel_lengths"])
+        loss, extra = obj(out, state.step)
+        return {"loss": loss, **extra}
+
+    if mesh is None:
+        return jax.jit(evaluate)
+    data = batch_sharding(mesh)
+    return jax.jit(evaluate, in_shardings=(None, data))

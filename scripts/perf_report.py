@@ -34,21 +34,29 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
 
-    def mas_case(B, T_x, T_y, ref_pps, label):
+    def mas_case(B, T_x, T_y, ref_pps, label, fuse=None, fmt="%.0f"):
         v = jnp.asarray((rng.standard_normal((B, T_x, T_y)) * 3)
                         .astype(np.float32))
         tx = jnp.asarray(rng.integers(T_x // 2, T_x + 1, B), jnp.int32)
         ty = jnp.asarray(
             np.maximum(np.asarray(tx), rng.integers(T_y // 4, T_y + 1, B)),
             jnp.int32)
-        t = measure_device_time(mas_pallas, v, tx, ty)
+        t = measure_device_time(
+            lambda v_, tx_, ty_: mas_pallas(v_, tx_, ty_, fuse=fuse),
+            v, tx, ty)
         rows.append((label, f"{t*1e3:.3f} ms", f"{B/t:,.0f} paths/s",
-                     f"{B/t/ref_pps:.0f}x CPU ref"))
+                     (fmt % (B / t / ref_pps)) + "x CPU ref"))
 
     mas_case(32, 128, 1024, 2110, "MAS batch (headline, config 1-2)")
     if not args.quick:
         mas_case(64, 128, 2048, 920, "MAS batch (config 5 shape)")
-        mas_case(1, 64, 256, 52900, "MAS single path (config 1)")
+        mas_case(256, 128, 1024, 2110,
+                 "MAS batch (serving, B=256)")
+        mas_case(1, 64, 256, 52900, "MAS single path (config 1, fused)",
+                 fuse=True, fmt="%.2f")
+        mas_case(1, 64, 256, 52900,
+                 "MAS single path (config 1, two-kernel)", fuse=False,
+                 fmt="%.2f")
 
     # OTA train step (config 3 shape)
     B, T_x, T_y = 16, 128, 1024

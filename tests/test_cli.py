@@ -58,6 +58,26 @@ def test_train_then_align_roundtrip(tmp_path, wav_corpus):
               "--output", out])
 
 
+def test_train_with_schedule_then_align(tmp_path, wav_corpus):
+    """align must work regardless of the training run's optimizer choice
+    (schedule + clipping change the opt_state pytree; align restores
+    params only)."""
+    from aligner_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "durations.jsonl")
+    main(["train", wav_corpus, "--steps", "3", "--batch-size", "4",
+          "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24",
+          "--lr-schedule", "cosine", "--warmup-steps", "1",
+          "--grad-clip", "1.0", "--eval-split", "0.25"])
+    main(["align", wav_corpus, "--checkpoint-dir", ckpt, "--output", out,
+          "--batch-size", "4"])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    for r in recs:
+        assert sum(r["durations"]) == r["n_frames"]
+
+
 def test_align_missing_checkpoint_fails_fast(wav_corpus):
     from aligner_tpu.cli import main
 

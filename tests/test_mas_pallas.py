@@ -20,9 +20,10 @@ def oracle(value, t_xs, t_ys):
     return out
 
 
-def run_pallas(value, t_xs, t_ys):
+def run_pallas(value, t_xs, t_ys, fuse=None):
     out = mas_pallas(jnp.asarray(value), jnp.asarray(t_xs, jnp.int32),
-                     jnp.asarray(t_ys, jnp.int32), interpret=True)
+                     jnp.asarray(t_ys, jnp.int32), interpret=True,
+                     fuse=fuse)
     return np.asarray(out).astype(np.int32)
 
 
@@ -122,6 +123,61 @@ def test_multi_lane_tile_t_x():
     t_ys = np.maximum(t_xs, rng.integers(1, T_y + 1, B))
     np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
                                   oracle(value, t_xs, t_ys))
+
+
+@pytest.mark.parametrize("fuse", [True, False])
+@pytest.mark.parametrize("seed", range(2))
+def test_fused_matches_oracle_ragged(seed, fuse):
+    """The single-launch fused kernel and the two-kernel pipeline share
+    the step helpers; both must be bit-identical to the oracle."""
+    rng = np.random.default_rng(100 + seed)
+    B, T_x, T_y = 5, 16, 48
+    value = (rng.standard_normal((B, T_x, T_y)) * 3).astype(np.float32)
+    t_xs = rng.integers(1, T_x + 1, B)
+    t_ys = np.maximum(t_xs, rng.integers(1, T_y + 1, B))
+    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys, fuse=fuse),
+                                  oracle(value, t_xs, t_ys))
+
+
+def test_fused_edge_cases():
+    """Ties, t_x > t_y, t_x == t_y, t_x == 1 through the fused kernel."""
+    B, T_x, T_y = 4, 8, 24
+    value = np.zeros((B, T_x, T_y), np.float32)
+    t_xs = np.array([8, 8, 1, 5])
+    t_ys = np.array([24, 8, 24, 3])  # last item: t_x > t_y -> zero path
+    got = run_pallas(value, t_xs, t_ys, fuse=True)
+    assert got[3].sum() == 0
+    np.testing.assert_array_equal(
+        got[:3], oracle(value[:3], t_xs[:3], t_ys[:3]))
+
+
+def test_fused_t_x_one_lane():
+    rng = np.random.default_rng(23)
+    value = rng.standard_normal((3, 1, 16)).astype(np.float32)
+    t_xs = np.ones(3, np.int64)
+    t_ys = np.array([16, 9, 1])
+    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys, fuse=True),
+                                  oracle(value, t_xs, t_ys))
+
+
+def test_fused_odd_t_y_padding():
+    """Odd T_y exercises _pad_frames + the odd-chunk single-step top."""
+    rng = np.random.default_rng(27)
+    B, T_x, T_y = 3, 8, 21
+    value = (rng.standard_normal((B, T_x, T_y)) * 2).astype(np.float32)
+    t_xs = rng.integers(1, T_x + 1, B)
+    t_ys = np.maximum(t_xs, rng.integers(1, T_y + 1, B))
+    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys, fuse=True),
+                                  oracle(value, t_xs, t_ys))
+
+
+def test_fused_budget_error():
+    from aligner_tpu.ops.mas_pallas import FUSED_BITS_BUDGET, mas_pallas_tm
+    T_y = 8 * ((FUSED_BITS_BUDGET // (2 * 128)) // 8 + 8)
+    big = jnp.zeros((T_y, 2, 128), jnp.float32)  # > budget
+    with pytest.raises(ValueError, match="VMEM scratch"):
+        mas_pallas_tm(big, jnp.ones(2, jnp.int32), jnp.ones(2, jnp.int32),
+                      interpret=True, fuse=True)
 
 
 def test_max_neg_val_kwarg_pallas_matches_lax():

@@ -159,6 +159,74 @@ def test_ota_recon_auxiliary():
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
 
 
+def test_lr_schedule_values():
+    from aligner_tpu.train import make_lr_schedule
+
+    const = make_lr_schedule(1e-3)
+    assert float(const(0)) == pytest.approx(1e-3)
+    warm = make_lr_schedule(1e-3, warmup_steps=100)
+    assert float(warm(0)) == pytest.approx(0.0)
+    assert float(warm(50)) == pytest.approx(5e-4)
+    assert float(warm(100)) == pytest.approx(1e-3)
+    cos = make_lr_schedule(1e-3, warmup_steps=10, decay_steps=100,
+                           schedule="cosine", final_scale=0.1)
+    assert float(cos(10)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(cos(100)) == pytest.approx(1e-4, rel=1e-2)
+    with pytest.raises(ValueError, match="decay_steps"):
+        make_lr_schedule(1e-3, schedule="cosine")
+    with pytest.raises(ValueError, match="unknown schedule"):
+        make_lr_schedule(1e-3, schedule="sawtooth")
+
+
+def test_grad_clip_and_schedule_train(model_and_state):
+    """Training with warmup schedule + global-norm clipping stays finite
+    and actually updates params (even at step 0 where lr == 0)."""
+    from aligner_tpu.train import make_lr_schedule
+
+    model, _, batch = model_and_state
+    sched = make_lr_schedule(1e-3, warmup_steps=4)
+    state = create_train_state(jax.random.PRNGKey(0), model, batch,
+                               learning_rate=sched, grad_clip_norm=0.5)
+    step = make_train_step(model, bin_start=-1, bin_ramp=1, donate=False)
+    p0 = jax.tree.map(np.asarray, state.params)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    changed = jax.tree.leaves(jax.tree.map(
+        lambda a, b: bool(np.any(a != np.asarray(b))), p0, state.params))
+    assert any(changed)
+
+
+def test_eval_step_and_loop_validation():
+    """make_eval_step returns the training objective without an update;
+    train_aligner logs val_* records for held-out batches."""
+    from aligner_tpu.train import make_eval_step
+    from aligner_tpu.train.loop import train_aligner
+
+    model = OTAAligner(OTAConfig(vocab_size=50, dim=32, hidden=48,
+                                 mas_implementation="lax"))
+    batch = make_batch()
+    state = create_train_state(jax.random.PRNGKey(0), model, batch,
+                               learning_rate=1e-3)
+    ev = make_eval_step(model, bin_start=-1, bin_ramp=1)
+    m = ev(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert "loss_forward_sum" in m
+
+    train_b = {k: np.asarray(v) for k, v in make_batch(seed=1).items()}
+    val_b = {k: np.asarray(v) for k, v in make_batch(seed=2).items()}
+    _, history = train_aligner(model, [train_b], steps=4,
+                               learning_rate=1e-3, log_every=2,
+                               eval_batches=[val_b], eval_every=2,
+                               log_fn=lambda s: None)
+    val_recs = [r for r in history if "val_loss" in r]
+    assert val_recs and np.isfinite(val_recs[-1]["val_loss"])
+    lr_recs = [r for r in history if "lr" in r]
+    assert lr_recs and lr_recs[0]["lr"] == pytest.approx(1e-3)
+
+
 def test_custom_objective_trains_mobo_and_romo():
     """make_train_step with a custom objective drives non-OTA models."""
     from aligner_tpu.models import MoBoAligner, MoBoConfig, RoMoAligner, \

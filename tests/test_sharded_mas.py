@@ -90,6 +90,36 @@ def test_sequence_parallel_mas_matches_single_device():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("M", [2, 4, 8])
+def test_sequence_parallel_pipelined_matches_single_device(M):
+    """Overlapped microbatch schedule: same paths as the gated schedule
+    and the single-device kernel, for fill ratios above/below/at P."""
+    from aligner_tpu.parallel.sequence import mas_sequence_parallel
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    rng = np.random.default_rng(11 + M)
+    B, T_x, T_y = 8, 16, 64
+    value = jnp.asarray((rng.standard_normal((B, T_x, T_y)) * 3)
+                        .astype(np.float32))
+    t_xs = jnp.asarray(rng.integers(1, T_x + 1, B), jnp.int32)
+    t_ys = jnp.asarray(
+        np.maximum(np.asarray(t_xs), rng.integers(1, T_y + 1, B)),
+        jnp.int32)
+    got = mas_sequence_parallel(value, t_xs, t_ys, mesh, microbatch=M)
+    ref = mas_lax(value, t_xs, t_ys)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sequence_parallel_pipelined_rejects_bad_microbatch():
+    from aligner_tpu.parallel.sequence import mas_sequence_parallel
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    with pytest.raises(ValueError, match="microbatch"):
+        mas_sequence_parallel(jnp.zeros((6, 4, 64)),
+                              jnp.full((6,), 4), jnp.full((6,), 64),
+                              mesh, microbatch=4)
+
+
 def test_sequence_parallel_rejects_indivisible():
     from aligner_tpu.parallel.sequence import mas_sequence_parallel
 
