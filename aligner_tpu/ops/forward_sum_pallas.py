@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mas_pallas import _pick_chunk
+from .mas_pallas import _pick_chunk, _shift_left, _shift_right
 
 NEG = -1e15
 
@@ -50,7 +50,10 @@ def _alpha_kernel(ty_ref, lp_ref, alpha_ref, final_ref, carry_ref):
     def body(j, prev):
         y = i * chunk + j
         col = lp_ref[j]
-        shift = jnp.where(x_is_0, NEG, pltpu.roll(prev, 1, axis=1))
+        # zero-pad concat shift: ~3x lower chained latency than
+        # pltpu.roll on sub-tile rows (see mas_pallas helper comment);
+        # the shifted-in lane is masked here anyway.
+        shift = jnp.where(x_is_0, NEG, _shift_right(prev, 1))
         inner = jnp.logaddexp(prev, shift)
         alpha = col + jnp.where(y == 0, first, inner)
         alpha = jnp.where(y < ty, alpha, prev)
@@ -94,7 +97,7 @@ def _beta_grad_kernel(tx_ref, ty_ref, total_ref, lp_ref, alpha_ref,
         lp = lp_ref[j]
         alpha = alpha_ref[j]
         # beta[y] from the next message: stay or advance (x+1).
-        shift = pltpu.roll(m_next, T_x - 1, axis=1)
+        shift = _shift_left(m_next, 1)
         shift = jnp.where(x_is_last | (x == T_x - 1), NEG, shift)
         beta = jnp.logaddexp(m_next, shift)
         is_last = y == ty - 1

@@ -42,12 +42,13 @@ core.pyx:9-45). Kernels over a time-major [T_y, B, T_x] layout:
 
 Both pipelines share the per-step recurrence helpers below, so the
 bit-exactness rules (tie semantics, composed two-step algebra) live in
-exactly one place. Lane shifts across token positions use `pltpu.roll`
-(non-negative shifts only, so -1 is expressed as T_x - 1); the x == 0
-wraparound slot is always masked. Ties match the reference exactly
-(strict `<` in the bit predicate: ties keep the token, transitions happen
-as early as possible). Items with t_x > t_y (reference UB,
-core.pyx:32-35) return all-zero paths.
+exactly one place. Lane shifts across token positions use zero-padded
+slice+concat (`_shift_right`/`_shift_left` — ~3x lower chained latency
+than `pltpu.roll` on sub-tile rows, see the helper comment); shifted-in
+lanes are either masked or provably zero. Ties match the reference
+exactly (strict `<` in the bit predicate: ties keep the token,
+transitions happen as early as possible). Items with t_x > t_y
+(reference UB, core.pyx:32-35) return all-zero paths.
 """
 from __future__ import annotations
 
@@ -69,12 +70,36 @@ FUSED_BITS_BUDGET = 6 * 1024 * 1024
 # ---------------------------------------------------------------------------
 # Shared per-step recurrence algebra (used by both the chunked two-kernel
 # pipeline and the fused single-kernel pipeline — keep bit-exact).
+#
+# Lane shifts use zero-padded slice+concat rather than `pltpu.roll`:
+# measured on v5e, a chained roll costs ~216 ns on sub-tile rows (e.g.
+# (1, 64) — the B=1 serving shape) vs ~75 ns for the concat form, and
+# they tie at full 128-lane rows. Zero padding is also the semantically
+# right edge: every wrapped-in lane the kernels consume was either
+# explicitly masked or provably zero (forward bits vanish at x == 0), so
+# paths are bit-identical to the roll formulation.
 # ---------------------------------------------------------------------------
+
+def _shift_right(v, k: int = 1):
+    """out[..., x] = v[..., x-k]; the first k lanes are zero."""
+    if k >= v.shape[-1]:
+        return jnp.zeros_like(v)
+    pad = jnp.zeros_like(v[..., :k])
+    return jnp.concatenate([pad, v[..., :-k]], axis=-1)
+
+
+def _shift_left(v, k: int = 1):
+    """out[..., x] = v[..., x+k]; the last k lanes are zero."""
+    if k >= v.shape[-1]:
+        return jnp.zeros_like(v)
+    pad = jnp.zeros_like(v[..., :k])
+    return jnp.concatenate([v[..., k:], pad], axis=-1)
+
 
 def _fwd_step_full(prev, col, y, x, max_neg_val):
     """One forward step for a frame with y < T_x (the diagonal cell x == y
     exists). Returns (decision bits int8, new cumulative column)."""
-    prev_shift = pltpu.roll(prev, 1, axis=1)  # prev[x-1]; x==0 masked
+    prev_shift = _shift_right(prev)  # prev[x-1]; x==0 masked
     x_is_y = x == y
     v_cur = jnp.where(x_is_y, max_neg_val, prev)
     v_prev = jnp.where(x == 0,
@@ -87,7 +112,7 @@ def _fwd_step_full(prev, col, y, x, max_neg_val):
 def _fwd_step_fast(prev, col, x, max_neg_val):
     """One forward step for y >= T_x: x == y is impossible, so v_cur = prev
     and the diagonal terms drop out of both the max and the bits."""
-    prev_shift = pltpu.roll(prev, 1, axis=1)
+    prev_shift = _shift_right(prev)
     v_prev = jnp.where(x == 0, max_neg_val, prev_shift)
     bits = ((prev < prev_shift) & (x > 0)).astype(jnp.int8)
     return bits, jnp.maximum(prev, v_prev) + col
@@ -103,11 +128,11 @@ def _fwd_pair_fast(prev, colA, colB, x, max_neg_val):
     Returns (bitsA, bitsB, new cumulative column after both frames)."""
     x_is_0 = x == 0
     x_gt_0 = x > 0
-    r1 = pltpu.roll(prev, 1, axis=1)            # prev[x-1]
-    r2 = pltpu.roll(prev, 2, axis=1)            # prev[x-2]
+    r1 = _shift_right(prev, 1)                  # prev[x-1]
+    r2 = _shift_right(prev, 2)                  # prev[x-2]
     sel1 = jnp.where(x_is_0, max_neg_val, r1)
     sel2 = jnp.where(x < 2, max_neg_val, r2)
-    rollA = pltpu.roll(colA, 1, axis=1)         # colA[x-1]
+    rollA = _shift_right(colA, 1)               # colA[x-1]
     m1 = jnp.where(x_is_0, colA, jnp.maximum(colA, rollA))
     a1 = jnp.where(x_is_0, 0.0, rollA)
     t0 = prev + colA
@@ -115,7 +140,7 @@ def _fwd_pair_fast(prev, colA, colB, x, max_neg_val):
     t2 = sel2 + a1
     bitsA = ((prev < r1) & x_gt_0).astype(jnp.int8)
     cmid = jnp.maximum(prev, sel1) + colA       # the skipped column
-    bitsB = ((cmid < pltpu.roll(cmid, 1, axis=1)) & x_gt_0).astype(jnp.int8)
+    bitsB = ((cmid < _shift_right(cmid, 1)) & x_gt_0).astype(jnp.int8)
     return bitsA, bitsB, jnp.maximum(jnp.maximum(t1, t2), t0) + colB
 
 
@@ -124,7 +149,7 @@ def _bt_step(ind, bits_col, y, ty, T_x):
     one-hot indicator. Returns (path row f32, new indicator)."""
     emit = ind * (y < ty).astype(jnp.float32)
     s = emit * bits_col.astype(jnp.float32)
-    return emit, ind - s + pltpu.roll(s, T_x - 1, axis=1)
+    return emit, ind - s + _shift_left(s, 1)
 
 
 def _bt_pair(ind, bits_hi, bits_lo, y_hi, ty, T_x):
@@ -133,26 +158,26 @@ def _bt_pair(ind, bits_hi, bits_lo, y_hi, ty, T_x):
     dependency chain whose latency dominates at small batch; the composed
     move-0/1/2 coefficients D0/D1/D2 depend only on the bit rows (off the
     critical chain), so ind_{y-2} is 4 chained ops from ind_y instead of 8.
-    One-hot x {0,1} algebra in f32 — exact. roll(v, T_x - k) == shift left
-    by k; wrapped-in lanes are always zero because forward bits vanish at
-    x == 0 (and D2 at x <= 1). Requires T_x >= 2.
+    One-hot x {0,1} algebra in f32 — exact. Shifted-in lanes are zero by
+    construction (and were provably zero in the roll formulation too:
+    forward bits vanish at x == 0, D2 at x <= 1). Requires T_x >= 2.
     Returns (path row y_hi, path row y_hi - 1, new indicator)."""
     a_hi = (y_hi < ty).astype(jnp.float32)
     a_lo = (y_hi - 1 < ty).astype(jnp.float32)
     b1 = bits_hi.astype(jnp.float32) * a_hi
     b2 = bits_lo.astype(jnp.float32) * a_lo
-    b2s = pltpu.roll(b2, 1, axis=1)          # b2[x-1]
+    b2s = _shift_right(b2, 1)                # b2[x-1]
     d1 = b1 * (1.0 - b2s) + (1.0 - b1) * b2  # move exactly one
     d2 = b1 * b2s                            # move twice
     path_hi = ind * a_hi
     s1 = ind * b1
-    ind_mid = ind - s1 + pltpu.roll(s1, T_x - 1, axis=1)
+    ind_mid = ind - s1 + _shift_left(s1, 1)
     path_lo = ind_mid * a_lo
     m1 = ind * d1
     m2 = ind * d2
     new_ind = (ind - m1 - m2
-               + pltpu.roll(m1, T_x - 1, axis=1)
-               + pltpu.roll(m2, max(T_x - 2, 0), axis=1))
+               + _shift_left(m1, 1)
+               + _shift_left(m2, 2))
     return path_hi, path_lo, new_ind
 
 

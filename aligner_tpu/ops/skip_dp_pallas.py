@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mas_pallas import _pad_frames, _pick_chunk
+from .mas_pallas import (_pad_frames, _pick_chunk, _shift_left,
+                         _shift_right)
 
 MAX_NEG_VAL = -1e9
 NEG = -1e15
@@ -59,8 +60,10 @@ def _viterbi_fwd_kernel(ty_ref, val_ref, moves_ref, final_ref, carry_ref,
     def body(j, prev):
         y = i * chunk + j
         col = val_ref[j]
-        p1 = jnp.where(s_is_0, max_neg_val, pltpu.roll(prev, 1, axis=1))
-        p2 = jnp.where(can_skip, pltpu.roll(prev, 2, axis=1), max_neg_val)
+        # zero-pad concat shifts (see mas_pallas helper comment); the
+        # shifted-in lanes are masked here anyway.
+        p1 = jnp.where(s_is_0, max_neg_val, _shift_right(prev, 1))
+        p2 = jnp.where(can_skip, _shift_right(prev, 2), max_neg_val)
         best1 = jnp.maximum(prev, p1)
         best = jnp.maximum(best1, p2)
         # move trit via f32 arithmetic (i8-valued selects hit Mosaic
@@ -109,9 +112,11 @@ def _viterbi_bwd_kernel(ty_ref, ind0_ref, moves_ref, path_ref, ind_ref):
         mvf = moves_ref[j].astype(jnp.float32)
         s1 = emit * (mvf * (2.0 - mvf))
         s2 = emit * (mvf * (mvf - 1.0) * 0.5)
+        # shifted-in lanes are zero: moves vanish at s == 0 (and skip
+        # moves at s <= 1), so the one-hot masses s1/s2 do too.
         return (ind - s1 - s2
-                + pltpu.roll(s1, T_s - 1, axis=1)
-                + pltpu.roll(s2, max(T_s - 2, 0), axis=1))
+                + _shift_left(s1, 1)
+                + _shift_left(s2, 2))
 
     ind_ref[:] = jax.lax.fori_loop(0, chunk, body, ind_ref[:],
                                    unroll=True)
@@ -189,8 +194,8 @@ def _alpha_skip_kernel(ty_ref, lp_ref, alpha_ref, carry_ref):
     def body(j, prev):
         y = i * chunk + j
         col = lp_ref[j]
-        p1 = jnp.where(s_is_0, NEG, pltpu.roll(prev, 1, axis=1))
-        p2 = jnp.where(can_skip, pltpu.roll(prev, 2, axis=1), NEG)
+        p1 = jnp.where(s_is_0, NEG, _shift_right(prev, 1))
+        p2 = jnp.where(can_skip, _shift_right(prev, 2), NEG)
         inner = jnp.logaddexp(jnp.logaddexp(prev, p1), p2)
         alpha = col + jnp.where(y == 0, first, inner)
         alpha = jnp.where(y < ty, alpha, prev)
@@ -222,9 +227,9 @@ def _gamma_skip_kernel(ts_ref, ty_ref, total_ref, lp_ref, alpha_ref,
         y = base + j
         lp = lp_ref[j]
         alpha = alpha_ref[j]
-        m1 = pltpu.roll(m_next, T_s - 1, axis=1)
+        m1 = _shift_left(m_next, 1)
         m1 = jnp.where(s + 1 < ts, m1, NEG)
-        m2 = pltpu.roll(m_next, max(T_s - 2, 0), axis=1)
+        m2 = _shift_left(m_next, 2)
         m2 = jnp.where(s_odd & (s + 2 < ts), m2, NEG)
         beta = jnp.logaddexp(jnp.logaddexp(m_next, m1), m2)
         beta = jnp.where(y == ty - 1, end_col, beta)
