@@ -385,6 +385,145 @@ def _fused_kernel(tx_ref, ty_ref, val_ref, path_ref, bits_ref, state_ref,
         state_ref[:] = ind
 
 
+def _fused_kernel_nat(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
+                      state_ref, *, max_neg_val: float = MAX_NEG_VAL):
+    """Natural-input variant of _fused_kernel: the value block arrives in
+    the reference's [B, T_x, chunk] layout and is transposed to
+    [chunk, B, T_x] *inside* the kernel (a VPU shuffle), which deletes
+    the standalone XLA transpose's HBM round-trip (2 x 16.8 MB at the
+    headline shape). Only the forward half touches the value. The path
+    stays time-major: Mosaic crashes on the (1, 2, 0) write-side
+    transpose, so the (cheap, int8) output conversion remains XLA's."""
+    B, T_x, chunk = val_ref.shape
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    half = n // 2
+    x = jax.lax.broadcasted_iota(jnp.int32, (B, T_x), 1)
+
+    @pl.when(i == 0)
+    def _():
+        state_ref[:] = jnp.zeros_like(state_ref)
+
+    base_f = jnp.minimum(i, half - 1) * chunk
+
+    def fwd(vt, first_body):
+        # Python-unrolled: vt is a traced *value* (the in-kernel
+        # transpose result), and Mosaic cannot lower dynamic_slice on
+        # values (only on refs) — the frame index must be static.
+        prev = state_ref[:]
+        if first_body:
+            for j in range(chunk):
+                bits, prev = _fwd_step_full(prev, vt[j], base_f + j, x,
+                                            max_neg_val)
+                bits_ref[base_f + j] = bits
+        elif chunk % 2 == 0 and T_x >= 2:
+            for jj in range(chunk // 2):
+                j = 2 * jj
+                bitsA, bitsB, prev = _fwd_pair_fast(
+                    prev, vt[j], vt[j + 1], x, max_neg_val)
+                bits_ref[base_f + j] = bitsA
+                bits_ref[base_f + j + 1] = bitsB
+        else:
+            for j in range(chunk):
+                bits, prev = _fwd_step_fast(prev, vt[j], x, max_neg_val)
+                bits_ref[base_f + j] = bits
+        return prev
+
+    @pl.when((i < half) & (i * chunk < T_x))
+    def _():
+        state_ref[:] = fwd(jnp.transpose(val_ref[:], (2, 0, 1)), True)
+
+    @pl.when((i < half) & (i * chunk >= T_x))
+    def _():
+        state_ref[:] = fwd(jnp.transpose(val_ref[:], (2, 0, 1)), False)
+
+    # -- backtrack half (identical to _fused_kernel) ---------------------
+    tx = tx_ref[:]
+    ty = ty_ref[:]
+
+    @pl.when(i == half)
+    def _():
+        valid = (tx >= 1) & (tx <= ty)
+        state_ref[:] = ((x == tx - 1) & valid).astype(jnp.float32)
+
+    base_b = jnp.clip(2 * half - 1 - i, 0, half - 1) * chunk
+
+    def bt_single(j, ind):
+        emit, new = _bt_step(ind, bits_ref[base_b + j], base_b + j, ty, T_x)
+        path_ref[j] = emit.astype(jnp.int8)
+        return new
+
+    def bt_pair(jj, ind):
+        j_hi = chunk - 1 - (chunk % 2) - 2 * jj
+        j_lo = j_hi - 1
+        p_hi, p_lo, new = _bt_pair(ind, bits_ref[base_b + j_hi],
+                                   bits_ref[base_b + j_lo],
+                                   base_b + j_hi, ty, T_x)
+        path_ref[j_hi] = p_hi.astype(jnp.int8)
+        path_ref[j_lo] = p_lo.astype(jnp.int8)
+        return new
+
+    @pl.when(i >= half)
+    def _():
+        ind = state_ref[:]
+        if chunk % 2:
+            ind = bt_single(chunk - 1, ind)
+        if T_x >= 2:
+            ind = jax.lax.fori_loop(0, chunk // 2, bt_pair, ind,
+                                    unroll=True)
+        else:
+            ind = jax.lax.fori_loop(
+                0, chunk // 2,
+                lambda jj, ind: bt_single(
+                    chunk - 1 - (chunk % 2) - 2 * jj - 1,
+                    bt_single(chunk - 1 - (chunk % 2) - 2 * jj, ind)),
+                ind, unroll=True)
+        state_ref[:] = ind
+
+
+def mas_pallas_fused_nat(value, t_x, t_y, *, interpret: bool = False,
+                         max_neg_val: float = MAX_NEG_VAL,
+                         _chunk: int | None = None):
+    """Single-launch MAS over a natural-layout [B, T_x, T_y] lattice
+    (T_y a multiple of 128, or <= 128 after padding to a multiple of 8);
+    returns the int8 path time-major [T_y, B, T_x]. Caller guarantees
+    the FUSED_BITS_BUDGET fit. `_chunk` overrides the frame-chunk size
+    for interpret-mode tests only (the TPU-lowered kernel needs 128-
+    aligned chunks, but a 128-step Python-unrolled kernel is very slow
+    to build under the interpreter)."""
+    B, T_x, T_y = value.shape
+    pad = (-T_y) % (128 if T_y > 128 else 8)
+    if pad:
+        value = jnp.pad(value, ((0, 0), (0, 0), (0, pad)))
+    T_yp = T_y + pad
+    # Mosaic block rule: the chunk (last dim) must be a multiple of 128
+    # or the whole axis.
+    chunk = _chunk or (128 if T_yp % 128 == 0 else T_yp)
+    n = T_yp // chunk
+    tx_b = jnp.broadcast_to(t_x.astype(jnp.int32)[:, None], (B, T_x))
+    ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None], (B, T_x))
+    len_spec = pl.BlockSpec((B, T_x), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    val_map = lambda i: (0, 0, jnp.minimum(i, n - 1))
+    path_map = lambda i: (jnp.clip(2 * n - 1 - i, 0, n - 1), 0, 0)
+    path = pl.pallas_call(
+        functools.partial(_fused_kernel_nat, max_neg_val=max_neg_val),
+        grid=(2 * n,),
+        in_specs=[
+            len_spec, len_spec,
+            pl.BlockSpec((B, T_x, chunk), val_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, B, T_x), path_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_yp, B, T_x), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((T_yp, B, T_x), jnp.int8),
+                        pltpu.VMEM((B, T_x), jnp.float32)],
+        interpret=interpret,
+    )(tx_b, ty_b, value.astype(jnp.float32))
+    return path[:T_y]
+
+
 def _pick_chunk(T_y: int, B: int = 32, T_x: int = 128,
                 budget_bytes: int = 4 * 1024 * 1024) -> int:
     """Largest frame-chunk whose double-buffered f32 block fits the VMEM
@@ -536,9 +675,25 @@ def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None,
     value: [B, T_x, T_y] float32 (log-prob lattice, padding arbitrary);
     t_x, t_y: [B] int32 true lengths. Returns float32 0/1 paths,
     [B, T_x, T_y], bit-identical to the reference Cython backtrack.
+
+    When the bit lattice fits VMEM and T_y is 128-aligned (or <= 128),
+    the natural-input fused kernel reads the reference layout directly
+    (in-kernel block transpose) — no standalone f32 transpose op.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    B, T_x, T_y = value.shape
+    T_yp8 = T_y + (-T_y) % 8
+    fits = T_yp8 * B * T_x <= FUSED_BITS_BUDGET
+    # The natural-input route is a device-side optimization only: its
+    # interpret-mode compile is disproportionately slow (per-step block
+    # transposes), and CPU callers see identical results either way.
+    natural_ok = (not interpret) and ((T_yp8 % 128 == 0) or (T_yp8 <= 128))
+    if fuse is not False and fits and natural_ok:
+        path_t = mas_pallas_fused_nat(value.astype(jnp.float32), t_x, t_y,
+                                      interpret=interpret,
+                                      max_neg_val=max_neg_val)
+        return jnp.transpose(path_t, (1, 2, 0)).astype(jnp.float32)
     # Time-major layout: dynamic per-frame indexing lands on dim 0, which
     # has no TPU sublane/lane tiling constraint.
     vt = jnp.transpose(value.astype(jnp.float32), (2, 0, 1))

@@ -171,6 +171,45 @@ def test_fused_odd_t_y_padding():
                                   oracle(value, t_xs, t_ys))
 
 
+def test_natural_input_multichunk():
+    """The natural-layout fused kernel (reference [B,T_x,T_y] input with
+    in-kernel block transposes) across multiple chunks (three 16-frame
+    chunks via the test-only _chunk override; the TPU config's 128-frame
+    chunks are validated on-chip). On device this is the drop-in
+    default; here it is called directly (the drop-in only routes to it
+    off-interpret)."""
+    from aligner_tpu.ops.mas_pallas import mas_pallas_fused_nat
+
+    rng = np.random.default_rng(51)
+    B, T_x, T_y = 2, 16, 48
+    value = (rng.standard_normal((B, T_x, T_y)) * 3).astype(np.float32)
+    t_xs = rng.integers(1, T_x + 1, B)
+    t_ys = np.maximum(t_xs, rng.integers(T_y // 2, T_y + 1, B))
+    path_t = mas_pallas_fused_nat(
+        jnp.asarray(value), jnp.asarray(t_xs, jnp.int32),
+        jnp.asarray(t_ys, jnp.int32), interpret=True, _chunk=16)
+    got = np.asarray(jnp.transpose(path_t, (1, 2, 0))).astype(np.int32)
+    np.testing.assert_array_equal(got, oracle(value, t_xs, t_ys))
+
+
+def test_natural_input_whole_axis_chunk():
+    """T_y below 128: the natural kernel's chunk is the whole frame axis;
+    also covers odd T_y (pads to a multiple of 8) and ties."""
+    from aligner_tpu.ops.mas_pallas import mas_pallas_fused_nat
+
+    rng = np.random.default_rng(53)
+    B, T_x, T_y = 3, 8, 42
+    value = (rng.standard_normal((B, T_x, T_y)) * 3).astype(np.float32)
+    value[0] = 0.0  # tie lattice
+    t_xs = np.array([8, 1, 5])
+    t_ys = np.array([42, 17, 5])
+    path_t = mas_pallas_fused_nat(
+        jnp.asarray(value), jnp.asarray(t_xs, jnp.int32),
+        jnp.asarray(t_ys, jnp.int32), interpret=True)
+    got = np.asarray(jnp.transpose(path_t, (1, 2, 0))).astype(np.int32)
+    np.testing.assert_array_equal(got, oracle(value, t_xs, t_ys))
+
+
 def test_fused_budget_error():
     from aligner_tpu.ops.mas_pallas import FUSED_BITS_BUDGET, mas_pallas_tm
     T_y = 8 * ((FUSED_BITS_BUDGET // (2 * 128)) // 8 + 8)
