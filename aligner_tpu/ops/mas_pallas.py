@@ -66,6 +66,13 @@ MAX_NEG_VAL = -1e9
 # path/state blocks this stays well under the ~16 MB/core VMEM.
 FUSED_BITS_BUDGET = 6 * 1024 * 1024
 
+# Below this many B*T_x elements per column the DP is latency-chain
+# bound (not VPU-issue bound) and the four-frame composed recurrences
+# win (measured v5e: quad beats pair at B=1 through B=32 at T_x=128;
+# B=64+ takes the two-kernel route anyway); above it their extra issue
+# volume would cost more than the shortened chain saves.
+QUAD_MAX_ELEMS = 4096
+
 
 # ---------------------------------------------------------------------------
 # Shared per-step recurrence algebra (used by both the chunked two-kernel
@@ -181,6 +188,127 @@ def _bt_pair(ind, bits_hi, bits_lo, y_hi, ty, T_x):
     return path_hi, path_lo, new_ind
 
 
+def _fwd_quad_fast(prev, c1, c2, c3, c4, x, max_neg_val):
+    """Four composed fast forward steps (all frames y >= T_x): one
+    cross-lane shift latency per FOUR frames. The 16 advance patterns
+    are grouped by total advance m; within a group, paths are merged
+    bottom-up with the distribute identity
+        max(fl(q + a), fl(q + b)) == fl(q + max(a, b))
+    (f32 rounding is monotone), so every path value keeps the exact
+    sequential left-to-right addition order — bit-identical to four
+    _fwd_step_fast applications whenever the max_neg_val sentinel
+    dominates the accumulated values (the documented contract). All
+    column shifts/maxima and the m-group merge trees are carry-
+    independent; the carry chain is one shift + a few adds/maxes.
+    Returns (bits for the 4 frames, new cumulative column)."""
+    shr = _shift_right
+    # carry shifts: independent, issue together — one shift latency.
+    sel1 = jnp.where(x < 1, max_neg_val, shr(prev, 1))
+    sel2 = jnp.where(x < 2, max_neg_val, shr(prev, 2))
+    sel3 = jnp.where(x < 3, max_neg_val, shr(prev, 3))
+    sel4 = jnp.where(x < 4, max_neg_val, shr(prev, 4))
+    # column shifts and pairwise maxima: off the carry chain entirely.
+    c1s1, c1s2, c1s3 = shr(c1, 1), shr(c1, 2), shr(c1, 3)
+    c2s1, c2s2 = shr(c2, 1), shr(c2, 2)
+    c3s1 = shr(c3, 1)
+    M11 = jnp.maximum(c1, c1s1)
+    M21 = jnp.maximum(c2, c2s1)
+    M31 = jnp.maximum(c3, c3s1)
+    # advance-m groups (pre-c4 sums; the shared final +c4 distributes).
+    A0 = ((prev + c1) + c2) + c3
+    A1 = jnp.maximum(((sel1 + M11) + c2) + c3,
+                     ((sel1 + c1s1) + c2s1) + M31)
+    A2 = jnp.maximum(
+        jnp.maximum(((sel2 + c1s1) + c2) + c3,
+                    ((sel2 + c1s1) + c2s1) + M31),
+        jnp.maximum(((sel2 + c1s2) + c2s1) + M31,
+                    ((sel2 + c1s2) + c2s2) + c3s1))
+    A3 = jnp.maximum(((sel3 + c1s2) + c2s1) + M31,
+                     jnp.maximum(((sel3 + c1s2) + c2s2) + c3s1,
+                                 ((sel3 + c1s3) + c2s2) + c3s1))
+    A4 = ((sel4 + c1s3) + c2s2) + c3s1
+    new = jnp.maximum(jnp.maximum(jnp.maximum(A0, A1),
+                                  jnp.maximum(A2, A3)), A4) + c4
+    # intermediate columns (exact sequential values, off the carry
+    # chain) — operands of the per-frame bit predicates.
+    u1 = jnp.maximum(prev, sel1) + c1
+    u2 = jnp.maximum(jnp.maximum(prev + c1, sel1 + M11),
+                     sel2 + c1s1) + c2
+    u3 = jnp.maximum(
+        jnp.maximum(jnp.maximum((prev + c1) + c2, (sel1 + M11) + c2),
+                    (sel1 + c1s1) + c2s1),
+        jnp.maximum(jnp.maximum((sel2 + c1s1) + M21,
+                                (sel2 + c1s2) + c2s1),
+                    (sel3 + c1s2) + c2s1)) + c3
+    x_gt_0 = x > 0
+    b1 = ((prev < shr(prev, 1)) & x_gt_0).astype(jnp.int8)
+    b2 = ((u1 < shr(u1, 1)) & x_gt_0).astype(jnp.int8)
+    b3 = ((u2 < shr(u2, 1)) & x_gt_0).astype(jnp.int8)
+    b4 = ((u3 < shr(u3, 1)) & x_gt_0).astype(jnp.int8)
+    return b1, b2, b3, b4, new
+
+
+_BT_PATTERNS = [(e4, e3, e2, e1)
+                for e4 in (0, 1) for e3 in (0, 1)
+                for e2 in (0, 1) for e1 in (0, 1)]
+
+
+def _bt_quad(ind, bits4, bits3, bits2, bits1, y4, ty, T_x):
+    """Four composed backtrack steps, frames y4 (top) down to y4-3: the
+    composed move-0..4 masses D_m depend only on the (gated) bit rows —
+    off the indicator chain — so ind advances four frames in one mult +
+    shift + 4 adds. Exact one-hot x {0,1} algebra in f32 (disjoint
+    indicator products); zero-padded shifts make it valid for any T_x.
+    Returns (path rows y4, y4-1, y4-2, y4-3, new indicator)."""
+    shr, shl = _shift_right, _shift_left
+    a4 = (y4 < ty).astype(jnp.float32)
+    a3 = (y4 - 1 < ty).astype(jnp.float32)
+    a2 = (y4 - 2 < ty).astype(jnp.float32)
+    a1 = (y4 - 3 < ty).astype(jnp.float32)
+    g4 = bits4.astype(jnp.float32) * a4
+    g3 = bits3.astype(jnp.float32) * a3
+    g2 = bits2.astype(jnp.float32) * a2
+    g1 = bits1.astype(jnp.float32) * a1
+    # g_j as seen after k prior moves
+    gs = {(4, 0): g4, (3, 0): g3, (3, 1): shr(g3, 1),
+          (2, 0): g2, (2, 1): shr(g2, 1), (2, 2): shr(g2, 2),
+          (1, 0): g1, (1, 1): shr(g1, 1), (1, 2): shr(g1, 2),
+          (1, 3): shr(g1, 3)}
+    D = [None] * 5
+    for pattern in _BT_PATTERNS:
+        k = 0
+        term = None
+        for j, e in zip((4, 3, 2, 1), pattern):
+            gj = gs[(j, k)]
+            f = gj if e else (1.0 - gj)
+            term = f if term is None else term * f
+            k += e
+        D[k] = term if D[k] is None else D[k] + term
+    moved = [ind * d for d in D]
+    ind0 = (moved[0] + shl(moved[1], 1) + shl(moved[2], 2)
+            + shl(moved[3], 3) + shl(moved[4], 4))
+    # partial compositions for the three lower emissions (off-chain)
+    s4 = ind * g4
+    ind3 = ind - s4 + shl(s4, 1)
+    g3_1 = gs[(3, 1)]
+    P2_1 = g4 * (1.0 - g3_1) + (1.0 - g4) * g3
+    P2_2 = g4 * g3_1
+    ind2 = (ind * ((1.0 - g4) * (1.0 - g3))
+            + shl(ind * P2_1, 1) + shl(ind * P2_2, 2))
+    g2_1, g2_2 = gs[(2, 1)], gs[(2, 2)]
+    P3_0 = (1.0 - g4) * (1.0 - g3) * (1.0 - g2)
+    P3_1 = (g4 * (1.0 - g3_1) * (1.0 - g2_1)
+            + (1.0 - g4) * g3 * (1.0 - g2_1)
+            + (1.0 - g4) * (1.0 - g3) * g2)
+    P3_2 = (g4 * g3_1 * (1.0 - g2_2)
+            + g4 * (1.0 - g3_1) * g2_1
+            + (1.0 - g4) * g3 * g2_1)
+    P3_3 = g4 * g3_1 * g2_2
+    ind1 = (ind * P3_0 + shl(ind * P3_1, 1) + shl(ind * P3_2, 2)
+            + shl(ind * P3_3, 3))
+    return (ind * a4, ind3 * a3, ind2 * a2, ind1 * a1, ind0)
+
+
 # ---------------------------------------------------------------------------
 # Two-kernel pipeline (large lattices: bit lattice streams through HBM).
 # ---------------------------------------------------------------------------
@@ -289,11 +417,12 @@ def _backtrack_kernel(tx_ref, ty_ref, bits_ref, path_ref, ind_ref):
 # ---------------------------------------------------------------------------
 
 def _fused_kernel(tx_ref, ty_ref, val_ref, path_ref, bits_ref, state_ref,
-                  *, max_neg_val: float = MAX_NEG_VAL):
+                  *, max_neg_val: float = MAX_NEG_VAL, quad: bool = False):
     """Grid = (2n,): steps [0, n) forward over value chunks, steps [n, 2n)
     backtrack over the VMEM bit lattice. `state_ref` is the forward carry
     column during the first half and the one-hot backtrack indicator during
-    the second (same [B, T_x] f32 shape)."""
+    the second (same [B, T_x] f32 shape). quad=True uses the four-frame
+    composed recurrences (latency regime; requires chunk % 4 == 0)."""
     chunk, B, T_x = val_ref.shape
     i = pl.program_id(0)
     n = pl.num_programs(0) // 2
@@ -327,6 +456,17 @@ def _fused_kernel(tx_ref, ty_ref, val_ref, path_ref, bits_ref, state_ref,
         bits_ref[base_f + j + 1] = bitsB
         return new
 
+    def quad_fast(jj, prev):
+        j = 4 * jj
+        b1, b2, b3, b4, new = _fwd_quad_fast(
+            prev, val_ref[j], val_ref[j + 1], val_ref[j + 2],
+            val_ref[j + 3], x, max_neg_val)
+        bits_ref[base_f + j] = b1
+        bits_ref[base_f + j + 1] = b2
+        bits_ref[base_f + j + 2] = b3
+        bits_ref[base_f + j + 3] = b4
+        return new
+
     @pl.when((i < n) & (i * chunk < T_x))
     def _():
         state_ref[:] = jax.lax.fori_loop(0, chunk, body_full,
@@ -334,7 +474,10 @@ def _fused_kernel(tx_ref, ty_ref, val_ref, path_ref, bits_ref, state_ref,
 
     @pl.when((i < n) & (i * chunk >= T_x))
     def _():
-        if chunk % 2 == 0 and T_x >= 2:
+        if quad and chunk % 4 == 0 and T_x >= 2:
+            state_ref[:] = jax.lax.fori_loop(0, chunk // 4, quad_fast,
+                                             state_ref[:], unroll=True)
+        elif chunk % 2 == 0 and T_x >= 2:
             state_ref[:] = jax.lax.fori_loop(0, chunk // 2, pair_fast,
                                              state_ref[:], unroll=True)
         else:
@@ -367,26 +510,43 @@ def _fused_kernel(tx_ref, ty_ref, val_ref, path_ref, bits_ref, state_ref,
         path_ref[j_lo] = p_lo.astype(jnp.int8)
         return new
 
+    def bt_quad(jj, ind):
+        j_hi = chunk - 1 - 4 * jj
+        p4, p3, p2, p1, new = _bt_quad(
+            ind, bits_ref[base_b + j_hi], bits_ref[base_b + j_hi - 1],
+            bits_ref[base_b + j_hi - 2], bits_ref[base_b + j_hi - 3],
+            base_b + j_hi, ty, T_x)
+        path_ref[j_hi] = p4.astype(jnp.int8)
+        path_ref[j_hi - 1] = p3.astype(jnp.int8)
+        path_ref[j_hi - 2] = p2.astype(jnp.int8)
+        path_ref[j_hi - 3] = p1.astype(jnp.int8)
+        return new
+
     @pl.when(i >= n)
     def _():
         ind = state_ref[:]
-        if chunk % 2:
-            ind = bt_single(chunk - 1, ind)
-        if T_x >= 2:
-            ind = jax.lax.fori_loop(0, chunk // 2, bt_pair, ind,
+        if quad and chunk % 4 == 0:
+            ind = jax.lax.fori_loop(0, chunk // 4, bt_quad, ind,
                                     unroll=True)
         else:
-            ind = jax.lax.fori_loop(
-                0, chunk // 2,
-                lambda jj, ind: bt_single(
-                    chunk - 1 - (chunk % 2) - 2 * jj - 1,
-                    bt_single(chunk - 1 - (chunk % 2) - 2 * jj, ind)),
-                ind, unroll=True)
+            if chunk % 2:
+                ind = bt_single(chunk - 1, ind)
+            if T_x >= 2:
+                ind = jax.lax.fori_loop(0, chunk // 2, bt_pair, ind,
+                                        unroll=True)
+            else:
+                ind = jax.lax.fori_loop(
+                    0, chunk // 2,
+                    lambda jj, ind: bt_single(
+                        chunk - 1 - (chunk % 2) - 2 * jj - 1,
+                        bt_single(chunk - 1 - (chunk % 2) - 2 * jj, ind)),
+                    ind, unroll=True)
         state_ref[:] = ind
 
 
 def _fused_kernel_nat(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
-                      state_ref, *, max_neg_val: float = MAX_NEG_VAL):
+                      state_ref, *, max_neg_val: float = MAX_NEG_VAL,
+                      quad: bool = False):
     """Natural-input variant of _fused_kernel: the value block arrives in
     the reference's [B, T_x, chunk] layout and is transposed to
     [chunk, B, T_x] *inside* the kernel (a VPU shuffle), which deletes
@@ -416,6 +576,16 @@ def _fused_kernel_nat(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
                 bits, prev = _fwd_step_full(prev, vt[j], base_f + j, x,
                                             max_neg_val)
                 bits_ref[base_f + j] = bits
+        elif quad and chunk % 4 == 0 and T_x >= 2:
+            for jj in range(chunk // 4):
+                j = 4 * jj
+                b1, b2, b3, b4, prev = _fwd_quad_fast(
+                    prev, vt[j], vt[j + 1], vt[j + 2], vt[j + 3], x,
+                    max_neg_val)
+                bits_ref[base_f + j] = b1
+                bits_ref[base_f + j + 1] = b2
+                bits_ref[base_f + j + 2] = b3
+                bits_ref[base_f + j + 3] = b4
         elif chunk % 2 == 0 and T_x >= 2:
             for jj in range(chunk // 2):
                 j = 2 * jj
@@ -463,27 +633,43 @@ def _fused_kernel_nat(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
         path_ref[j_lo] = p_lo.astype(jnp.int8)
         return new
 
+    def bt_quad(jj, ind):
+        j_hi = chunk - 1 - 4 * jj
+        p4, p3, p2, p1, new = _bt_quad(
+            ind, bits_ref[base_b + j_hi], bits_ref[base_b + j_hi - 1],
+            bits_ref[base_b + j_hi - 2], bits_ref[base_b + j_hi - 3],
+            base_b + j_hi, ty, T_x)
+        path_ref[j_hi] = p4.astype(jnp.int8)
+        path_ref[j_hi - 1] = p3.astype(jnp.int8)
+        path_ref[j_hi - 2] = p2.astype(jnp.int8)
+        path_ref[j_hi - 3] = p1.astype(jnp.int8)
+        return new
+
     @pl.when(i >= half)
     def _():
         ind = state_ref[:]
-        if chunk % 2:
-            ind = bt_single(chunk - 1, ind)
-        if T_x >= 2:
-            ind = jax.lax.fori_loop(0, chunk // 2, bt_pair, ind,
+        if quad and chunk % 4 == 0:
+            ind = jax.lax.fori_loop(0, chunk // 4, bt_quad, ind,
                                     unroll=True)
         else:
-            ind = jax.lax.fori_loop(
-                0, chunk // 2,
-                lambda jj, ind: bt_single(
-                    chunk - 1 - (chunk % 2) - 2 * jj - 1,
-                    bt_single(chunk - 1 - (chunk % 2) - 2 * jj, ind)),
-                ind, unroll=True)
+            if chunk % 2:
+                ind = bt_single(chunk - 1, ind)
+            if T_x >= 2:
+                ind = jax.lax.fori_loop(0, chunk // 2, bt_pair, ind,
+                                        unroll=True)
+            else:
+                ind = jax.lax.fori_loop(
+                    0, chunk // 2,
+                    lambda jj, ind: bt_single(
+                        chunk - 1 - (chunk % 2) - 2 * jj - 1,
+                        bt_single(chunk - 1 - (chunk % 2) - 2 * jj, ind)),
+                    ind, unroll=True)
         state_ref[:] = ind
 
 
 def mas_pallas_fused_nat(value, t_x, t_y, *, interpret: bool = False,
                          max_neg_val: float = MAX_NEG_VAL,
-                         _chunk: int | None = None):
+                         quad: bool = False, _chunk: int | None = None):
     """Single-launch MAS over a natural-layout [B, T_x, T_y] lattice
     (T_y a multiple of 128, or <= 128 after padding to a multiple of 8);
     returns the int8 path time-major [T_y, B, T_x]. Caller guarantees
@@ -507,7 +693,8 @@ def mas_pallas_fused_nat(value, t_x, t_y, *, interpret: bool = False,
     val_map = lambda i: (0, 0, jnp.minimum(i, n - 1))
     path_map = lambda i: (jnp.clip(2 * n - 1 - i, 0, n - 1), 0, 0)
     path = pl.pallas_call(
-        functools.partial(_fused_kernel_nat, max_neg_val=max_neg_val),
+        functools.partial(_fused_kernel_nat, max_neg_val=max_neg_val,
+                          quad=quad and chunk % 4 == 0),
         grid=(2 * n,),
         in_specs=[
             len_spec, len_spec,
@@ -588,7 +775,8 @@ def mas_pallas_backtrack(bits, t_x, t_y, *, interpret: bool = False):
 
 
 def mas_pallas_fused_tm(value_tm, t_x, t_y, *, interpret: bool = False,
-                        max_neg_val: float = MAX_NEG_VAL):
+                        max_neg_val: float = MAX_NEG_VAL,
+                        quad: bool = False):
     """Single-launch MAS: time-major value [T_y, B, T_x] (T_y a multiple
     of 8) -> int8 path [T_y, B, T_x], with the bit lattice held in VMEM.
     Caller must ensure T_y*B*T_x fits FUSED_BITS_BUDGET."""
@@ -607,7 +795,8 @@ def mas_pallas_fused_tm(value_tm, t_x, t_y, *, interpret: bool = False,
     val_map = lambda i: (jnp.minimum(i, n - 1), 0, 0)
     path_map = lambda i: (jnp.clip(2 * n - 1 - i, 0, n - 1), 0, 0)
     return pl.pallas_call(
-        functools.partial(_fused_kernel, max_neg_val=max_neg_val),
+        functools.partial(_fused_kernel, max_neg_val=max_neg_val,
+                          quad=quad and chunk % 4 == 0),
         grid=(2 * n,),
         in_specs=[
             len_spec, len_spec,
@@ -635,7 +824,7 @@ def _pad_frames(arr_tm):
 
 def mas_pallas_tm(value_tm, t_x, t_y, *, interpret: bool | None = None,
                   max_neg_val: float = MAX_NEG_VAL,
-                  fuse: bool | None = None):
+                  fuse: bool | None = None, quad: bool | None = None):
     """Time-major MAS: value [T_y, B, T_x] f32 -> int8 path [T_y, B, T_x].
 
     The transpose-free entry point for internal callers whose lattices are
@@ -644,13 +833,17 @@ def mas_pallas_tm(value_tm, t_x, t_y, *, interpret: bool | None = None,
 
     fuse: None picks the single-launch fused kernel whenever the bit
     lattice fits its VMEM budget (always at serving sizes); True/False
-    force the choice (True raises if it cannot fit).
+    force the choice (True raises if it cannot fit). quad: None enables
+    the four-frame composed recurrences in the latency regime
+    (B*T_x <= QUAD_MAX_ELEMS); True/False force.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     value_tm, T_y = _pad_frames(value_tm)
     T_y_pad, B, T_x = value_tm.shape
     fits = T_y_pad * B * T_x <= FUSED_BITS_BUDGET
+    if quad is None:
+        quad = B * T_x <= QUAD_MAX_ELEMS
     if fuse is True and not fits:
         raise ValueError(
             f"fused MAS bit lattice T_y*B*T_x = {T_y_pad}*{B}*{T_x} "
@@ -658,7 +851,7 @@ def mas_pallas_tm(value_tm, t_x, t_y, *, interpret: bool | None = None,
             f"budget; use fuse=False/None.")
     if fuse or (fuse is None and fits):
         path = mas_pallas_fused_tm(value_tm, t_x, t_y, interpret=interpret,
-                                   max_neg_val=max_neg_val)
+                                   max_neg_val=max_neg_val, quad=quad)
     else:
         bits = mas_pallas_bits(value_tm, interpret=interpret,
                                max_neg_val=max_neg_val)
@@ -667,9 +860,11 @@ def mas_pallas_tm(value_tm, t_x, t_y, *, interpret: bool | None = None,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "max_neg_val", "fuse"))
+                   static_argnames=("interpret", "max_neg_val", "fuse",
+                                    "quad"))
 def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None,
-               max_neg_val: float = MAX_NEG_VAL, fuse: bool | None = None):
+               max_neg_val: float = MAX_NEG_VAL, fuse: bool | None = None,
+               quad: bool | None = None):
     """Batched MAS paths on TPU via the Pallas column-sweep kernels.
 
     value: [B, T_x, T_y] float32 (log-prob lattice, padding arbitrary);
@@ -678,13 +873,17 @@ def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None,
 
     When the bit lattice fits VMEM and T_y is 128-aligned (or <= 128),
     the natural-input fused kernel reads the reference layout directly
-    (in-kernel block transpose) — no standalone f32 transpose op.
+    (in-kernel block transpose) — no standalone f32 transpose op. In
+    the latency regime (B*T_x <= QUAD_MAX_ELEMS, override with `quad`)
+    the kernels advance four frames per cross-lane shift latency.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     B, T_x, T_y = value.shape
     T_yp8 = T_y + (-T_y) % 8
     fits = T_yp8 * B * T_x <= FUSED_BITS_BUDGET
+    if quad is None:
+        quad = B * T_x <= QUAD_MAX_ELEMS
     # The natural-input route is a device-side optimization only: its
     # interpret-mode compile is disproportionately slow (per-step block
     # transposes), and CPU callers see identical results either way.
@@ -692,11 +891,11 @@ def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None,
     if fuse is not False and fits and natural_ok:
         path_t = mas_pallas_fused_nat(value.astype(jnp.float32), t_x, t_y,
                                       interpret=interpret,
-                                      max_neg_val=max_neg_val)
+                                      max_neg_val=max_neg_val, quad=quad)
         return jnp.transpose(path_t, (1, 2, 0)).astype(jnp.float32)
     # Time-major layout: dynamic per-frame indexing lands on dim 0, which
     # has no TPU sublane/lane tiling constraint.
     vt = jnp.transpose(value.astype(jnp.float32), (2, 0, 1))
     path_t = mas_pallas_tm(vt, t_x, t_y, interpret=interpret,
-                           max_neg_val=max_neg_val, fuse=fuse)
+                           max_neg_val=max_neg_val, fuse=fuse, quad=quad)
     return jnp.transpose(path_t, (1, 2, 0)).astype(jnp.float32)

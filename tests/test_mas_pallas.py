@@ -20,21 +20,25 @@ def oracle(value, t_xs, t_ys):
     return out
 
 
-def run_pallas(value, t_xs, t_ys, fuse=None):
+def run_pallas(value, t_xs, t_ys, fuse=None, quad=None):
     out = mas_pallas(jnp.asarray(value), jnp.asarray(t_xs, jnp.int32),
                      jnp.asarray(t_ys, jnp.int32), interpret=True,
-                     fuse=fuse)
+                     fuse=fuse, quad=quad)
     return np.asarray(out).astype(np.int32)
 
 
+@pytest.mark.parametrize("quad", [None, False])
 @pytest.mark.parametrize("seed", range(3))
-def test_matches_oracle_ragged(seed):
+def test_matches_oracle_ragged(seed, quad):
+    """quad=None auto-enables the four-frame composed recurrences at
+    these latency-regime shapes; quad=False keeps the pair kernels
+    covered."""
     rng = np.random.default_rng(seed)
     B, T_x, T_y = 8, 16, 32
     value = (rng.standard_normal((B, T_x, T_y)) * 3).astype(np.float32)
     t_xs = rng.integers(1, T_x + 1, B)
     t_ys = np.maximum(t_xs, rng.integers(1, T_y + 1, B))
-    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys),
+    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys, quad=quad),
                                   oracle(value, t_xs, t_ys))
 
 
