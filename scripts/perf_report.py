@@ -50,12 +50,14 @@ def main():
     mas_case(32, 128, 1024, 2110, "MAS batch (headline, config 1-2)")
     if not args.quick:
         mas_case(64, 128, 2048, 920, "MAS batch (config 5 shape)")
+        mas_case(8, 128, 1024, 2110, "MAS batch (serving, B=8)")
+        mas_case(16, 128, 1024, 2110, "MAS batch (serving, B=16)")
         mas_case(256, 128, 1024, 2110,
                  "MAS batch (serving, B=256)")
-        mas_case(1, 64, 256, 52900, "MAS single path (config 1, fused)",
-                 fuse=True, fmt="%.2f")
+        mas_case(1, 64, 256, 52900, "MAS single path (config 1, quad)",
+                 fmt="%.2f")
         mas_case(1, 64, 256, 52900,
-                 "MAS single path (config 1, two-kernel)", fuse=False,
+                 "MAS single path (config 1, pair kernels)", fuse=False,
                  fmt="%.2f")
 
     # OTA train step (config 3 shape)

@@ -214,6 +214,20 @@ def test_natural_input_whole_axis_chunk():
     np.testing.assert_array_equal(got, oracle(value, t_xs, t_ys))
 
 
+@pytest.mark.parametrize("quad", [None, False])
+def test_tie_stress_quantized_lattice(quad):
+    """Coarsely quantized values make equal DP sums common, stressing
+    the tie rules (forward: ties stay; backtrack: strict <) through the
+    composed recurrences."""
+    rng = np.random.default_rng(77)
+    B, T_x, T_y = 6, 12, 40
+    value = rng.integers(-2, 3, (B, T_x, T_y)).astype(np.float32)
+    t_xs = rng.integers(1, T_x + 1, B)
+    t_ys = np.maximum(t_xs, rng.integers(1, T_y + 1, B))
+    np.testing.assert_array_equal(run_pallas(value, t_xs, t_ys, quad=quad),
+                                  oracle(value, t_xs, t_ys))
+
+
 def test_fused_budget_error():
     from aligner_tpu.ops.mas_pallas import FUSED_BITS_BUDGET, mas_pallas_tm
     T_y = 8 * ((FUSED_BITS_BUDGET // (2 * 128)) // 8 + 8)
