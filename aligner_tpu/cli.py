@@ -200,12 +200,14 @@ def cmd_demo_pauses(args):
                         pp, item["pause_durations"]))
         rec = {"token_boundary_f1_tol2": round(float(np.mean(f1s)), 3)}
         if pauses:
-            rec["pause_recall"] = round(float(np.mean(
-                [p["recall"] for p in pauses if p["n_true"]])), 3)
             rec["pause_precision"] = round(float(np.mean(
                 [p["precision"] for p in pauses])), 3)
-            rec["pause_length_mae"] = round(float(np.mean(
-                [p["length_mae"] for p in pauses if p["n_true"]])), 3)
+            with_true = [p for p in pauses if p["n_true"]]
+            if with_true:  # else no evaluated item had a true pause:
+                rec["pause_recall"] = round(float(np.mean(
+                    [p["recall"] for p in with_true])), 3)
+                rec["pause_length_mae"] = round(float(np.mean(
+                    [p["length_mae"] for p in with_true])), 3)
         return rec
 
     result = {"demo": "pauses", "pause_prob": args.pause_prob,

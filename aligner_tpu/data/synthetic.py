@@ -75,9 +75,10 @@ def make_corpus(n_utterances: int, cfg: SyntheticConfig = SyntheticConfig()):
         mel = mel + cfg.noise * rng.standard_normal(mel.shape) \
             .astype(np.float32)
         item = {"tokens": tokens, "mel": mel.astype(np.float32),
-                "durations": durs.astype(np.int32)}
-        if cfg.pause_prob > 0:
-            item["pause_durations"] = pauses
+                "durations": durs.astype(np.int32),
+                # all-zero when pause_prob == 0, so pause-aware consumers
+                # (demo-pauses, eval) work on pause-free corpora too
+                "pause_durations": pauses}
         out.append(item)
     return out
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 
 class ConvStack(nn.Module):

@@ -20,7 +20,6 @@ exactly like the lax scans.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -416,6 +416,74 @@ def _backtrack_kernel(tx_ref, ty_ref, bits_ref, path_ref, ind_ref):
 # Fused single-kernel pipeline (bit lattice in VMEM; one launch).
 # ---------------------------------------------------------------------------
 
+def _bt_half(tx_ref, ty_ref, path_ref, bits_ref, state_ref, x,
+             *, i, start_step, chunk, n_chunks, T_x, quad):
+    """The shared backtrack half of both fused kernels (time-major and
+    natural-input): indicator init at grid step `start_step`, then a
+    right-to-left chunk walk emitting path rows from the VMEM bit
+    lattice. Lives once so the tie/scheduling rules cannot diverge
+    between the two pipelines."""
+    tx = tx_ref[:]
+    ty = ty_ref[:]
+
+    @pl.when(i == start_step)
+    def _():
+        # Fold the validity gate (1 <= t_x <= t_y) into the init: invalid
+        # items start all-zero and stay all-zero.
+        valid = (tx >= 1) & (tx <= ty)
+        state_ref[:] = ((x == tx - 1) & valid).astype(jnp.float32)
+
+    base_b = jnp.clip(2 * n_chunks - 1 - i, 0, n_chunks - 1) * chunk
+
+    def bt_single(j, ind):
+        emit, new = _bt_step(ind, bits_ref[base_b + j], base_b + j, ty,
+                             T_x)
+        path_ref[j] = emit.astype(jnp.int8)
+        return new
+
+    def bt_pair(jj, ind):
+        j_hi = chunk - 1 - (chunk % 2) - 2 * jj
+        j_lo = j_hi - 1
+        p_hi, p_lo, new = _bt_pair(ind, bits_ref[base_b + j_hi],
+                                   bits_ref[base_b + j_lo],
+                                   base_b + j_hi, ty, T_x)
+        path_ref[j_hi] = p_hi.astype(jnp.int8)
+        path_ref[j_lo] = p_lo.astype(jnp.int8)
+        return new
+
+    def bt_quad(jj, ind):
+        j_hi = chunk - 1 - 4 * jj
+        p4, p3, p2, p1, new = _bt_quad(
+            ind, bits_ref[base_b + j_hi], bits_ref[base_b + j_hi - 1],
+            bits_ref[base_b + j_hi - 2], bits_ref[base_b + j_hi - 3],
+            base_b + j_hi, ty, T_x)
+        path_ref[j_hi] = p4.astype(jnp.int8)
+        path_ref[j_hi - 1] = p3.astype(jnp.int8)
+        path_ref[j_hi - 2] = p2.astype(jnp.int8)
+        path_ref[j_hi - 3] = p1.astype(jnp.int8)
+        return new
+
+    @pl.when(i >= start_step)
+    def _():
+        ind = state_ref[:]
+        if quad and chunk % 4 == 0:
+            ind = jax.lax.fori_loop(0, chunk // 4, bt_quad, ind,
+                                    unroll=True)
+        else:
+            if chunk % 2:
+                ind = bt_single(chunk - 1, ind)
+            if T_x >= 2:
+                ind = jax.lax.fori_loop(0, chunk // 2, bt_pair, ind,
+                                        unroll=True)
+            else:
+                ind = jax.lax.fori_loop(
+                    0, chunk // 2,
+                    lambda jj, ind: bt_single(
+                        chunk - 1 - (chunk % 2) - 2 * jj - 1,
+                        bt_single(chunk - 1 - (chunk % 2) - 2 * jj, ind)),
+                    ind, unroll=True)
+        state_ref[:] = ind
+
 def _fused_kernel(tx_ref, ty_ref, val_ref, path_ref, bits_ref, state_ref,
                   *, max_neg_val: float = MAX_NEG_VAL, quad: bool = False):
     """Grid = (2n,): steps [0, n) forward over value chunks, steps [n, 2n)
@@ -484,64 +552,10 @@ def _fused_kernel(tx_ref, ty_ref, val_ref, path_ref, bits_ref, state_ref,
             state_ref[:] = jax.lax.fori_loop(0, chunk, body_fast,
                                              state_ref[:], unroll=True)
 
-    # -- backtrack half -------------------------------------------------
-    tx = tx_ref[:]
-    ty = ty_ref[:]
-
-    @pl.when(i == n)
-    def _():
-        valid = (tx >= 1) & (tx <= ty)
-        state_ref[:] = ((x == tx - 1) & valid).astype(jnp.float32)
-
-    base_b = jnp.clip(2 * n - 1 - i, 0, n - 1) * chunk
-
-    def bt_single(j, ind):
-        emit, new = _bt_step(ind, bits_ref[base_b + j], base_b + j, ty, T_x)
-        path_ref[j] = emit.astype(jnp.int8)
-        return new
-
-    def bt_pair(jj, ind):
-        j_hi = chunk - 1 - (chunk % 2) - 2 * jj
-        j_lo = j_hi - 1
-        p_hi, p_lo, new = _bt_pair(ind, bits_ref[base_b + j_hi],
-                                   bits_ref[base_b + j_lo],
-                                   base_b + j_hi, ty, T_x)
-        path_ref[j_hi] = p_hi.astype(jnp.int8)
-        path_ref[j_lo] = p_lo.astype(jnp.int8)
-        return new
-
-    def bt_quad(jj, ind):
-        j_hi = chunk - 1 - 4 * jj
-        p4, p3, p2, p1, new = _bt_quad(
-            ind, bits_ref[base_b + j_hi], bits_ref[base_b + j_hi - 1],
-            bits_ref[base_b + j_hi - 2], bits_ref[base_b + j_hi - 3],
-            base_b + j_hi, ty, T_x)
-        path_ref[j_hi] = p4.astype(jnp.int8)
-        path_ref[j_hi - 1] = p3.astype(jnp.int8)
-        path_ref[j_hi - 2] = p2.astype(jnp.int8)
-        path_ref[j_hi - 3] = p1.astype(jnp.int8)
-        return new
-
-    @pl.when(i >= n)
-    def _():
-        ind = state_ref[:]
-        if quad and chunk % 4 == 0:
-            ind = jax.lax.fori_loop(0, chunk // 4, bt_quad, ind,
-                                    unroll=True)
-        else:
-            if chunk % 2:
-                ind = bt_single(chunk - 1, ind)
-            if T_x >= 2:
-                ind = jax.lax.fori_loop(0, chunk // 2, bt_pair, ind,
-                                        unroll=True)
-            else:
-                ind = jax.lax.fori_loop(
-                    0, chunk // 2,
-                    lambda jj, ind: bt_single(
-                        chunk - 1 - (chunk % 2) - 2 * jj - 1,
-                        bt_single(chunk - 1 - (chunk % 2) - 2 * jj, ind)),
-                    ind, unroll=True)
-        state_ref[:] = ind
+    # -- backtrack half (shared) ----------------------------------------
+    _bt_half(tx_ref, ty_ref, path_ref, bits_ref, state_ref, x,
+             i=i, start_step=n, chunk=chunk, n_chunks=n, T_x=T_x,
+             quad=quad)
 
 
 def _fused_kernel_nat(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
@@ -607,64 +621,10 @@ def _fused_kernel_nat(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
     def _():
         state_ref[:] = fwd(jnp.transpose(val_ref[:], (2, 0, 1)), False)
 
-    # -- backtrack half (identical to _fused_kernel) ---------------------
-    tx = tx_ref[:]
-    ty = ty_ref[:]
-
-    @pl.when(i == half)
-    def _():
-        valid = (tx >= 1) & (tx <= ty)
-        state_ref[:] = ((x == tx - 1) & valid).astype(jnp.float32)
-
-    base_b = jnp.clip(2 * half - 1 - i, 0, half - 1) * chunk
-
-    def bt_single(j, ind):
-        emit, new = _bt_step(ind, bits_ref[base_b + j], base_b + j, ty, T_x)
-        path_ref[j] = emit.astype(jnp.int8)
-        return new
-
-    def bt_pair(jj, ind):
-        j_hi = chunk - 1 - (chunk % 2) - 2 * jj
-        j_lo = j_hi - 1
-        p_hi, p_lo, new = _bt_pair(ind, bits_ref[base_b + j_hi],
-                                   bits_ref[base_b + j_lo],
-                                   base_b + j_hi, ty, T_x)
-        path_ref[j_hi] = p_hi.astype(jnp.int8)
-        path_ref[j_lo] = p_lo.astype(jnp.int8)
-        return new
-
-    def bt_quad(jj, ind):
-        j_hi = chunk - 1 - 4 * jj
-        p4, p3, p2, p1, new = _bt_quad(
-            ind, bits_ref[base_b + j_hi], bits_ref[base_b + j_hi - 1],
-            bits_ref[base_b + j_hi - 2], bits_ref[base_b + j_hi - 3],
-            base_b + j_hi, ty, T_x)
-        path_ref[j_hi] = p4.astype(jnp.int8)
-        path_ref[j_hi - 1] = p3.astype(jnp.int8)
-        path_ref[j_hi - 2] = p2.astype(jnp.int8)
-        path_ref[j_hi - 3] = p1.astype(jnp.int8)
-        return new
-
-    @pl.when(i >= half)
-    def _():
-        ind = state_ref[:]
-        if quad and chunk % 4 == 0:
-            ind = jax.lax.fori_loop(0, chunk // 4, bt_quad, ind,
-                                    unroll=True)
-        else:
-            if chunk % 2:
-                ind = bt_single(chunk - 1, ind)
-            if T_x >= 2:
-                ind = jax.lax.fori_loop(0, chunk // 2, bt_pair, ind,
-                                        unroll=True)
-            else:
-                ind = jax.lax.fori_loop(
-                    0, chunk // 2,
-                    lambda jj, ind: bt_single(
-                        chunk - 1 - (chunk % 2) - 2 * jj - 1,
-                        bt_single(chunk - 1 - (chunk % 2) - 2 * jj, ind)),
-                    ind, unroll=True)
-        state_ref[:] = ind
+    # -- backtrack half (shared) ----------------------------------------
+    _bt_half(tx_ref, ty_ref, path_ref, bits_ref, state_ref, x,
+             i=i, start_step=half, chunk=chunk, n_chunks=half, T_x=T_x,
+             quad=quad)
 
 
 def mas_pallas_fused_nat(value, t_x, t_y, *, interpret: bool = False,

@@ -214,6 +214,15 @@ def _gamma_skip_kernel(ts_ref, ty_ref, total_ref, lp_ref, alpha_ref,
     B, T_s = carry_ref.shape
     i = pl.program_id(0)
     n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        # Every frame y >= t_y passes the carry through, so without this
+        # init the padded tail would read uninitialized VMEM; today the
+        # y == ty-1 end-column overwrite masks it, but keep the same
+        # defined-start invariant as every other sweep kernel.
+        carry_ref[:] = jnp.full((B, T_s), NEG, jnp.float32)
+
     ts = ts_ref[:]
     ty = ty_ref[:]
     total = total_ref[:]

@@ -1,5 +1,6 @@
 """MoBoAligner model module + torch drop-in wrapper."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +36,8 @@ def test_mobo_model_end_to_end():
 
 
 def test_torch_compat_drop_in():
-    import torch
+    torch = pytest.importorskip(
+        "torch", reason="torch_compat shim needs torch (optional extra)")
 
     from aligner_tpu.torch_compat import maximum_path
     from aligner_tpu.ops.mas_reference import maximum_path_numpy

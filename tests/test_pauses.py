@@ -115,6 +115,19 @@ def test_pause_corpus_ground_truth():
     assert saw_pause
 
 
+def test_pause_free_corpus_still_has_pause_durations():
+    """pause_prob == 0 corpora carry an all-zero pause_durations array so
+    pause-aware consumers (demo-pauses, eval) work on them too."""
+    from aligner_tpu.data import SyntheticConfig, make_corpus
+
+    cfg = SyntheticConfig(seed=5, pause_prob=0.0, min_tokens=4,
+                          max_tokens=8)
+    for item in make_corpus(4, cfg):
+        assert "pause_durations" in item
+        assert (item["pause_durations"] == 0).all()
+        assert item["durations"].sum() == item["mel"].shape[0]
+
+
 def test_token_spans_and_pause_metrics():
     from aligner_tpu.utils.eval import (pause_detection, token_boundary_f1,
                                         token_spans)

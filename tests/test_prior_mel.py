@@ -1,7 +1,6 @@
 """Beta-binomial prior vs scipy; mel extraction vs numpy STFT."""
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from scipy.stats import betabinom
 
 from aligner_tpu.ops.mel import (MelConfig, log_mel_spectrogram,

@@ -10,7 +10,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from aligner_tpu.ops.mas import mas_lax, maximum_path

@@ -1,6 +1,5 @@
 """Skip-state DP (implicit pause modeling): brute-force conformance,
 oracle/lax equality, tie rules, forward-sum gradient checks."""
-import itertools
 
 import jax
 import jax.numpy as jnp
