@@ -14,6 +14,7 @@ masked by the caller via lengths.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import Any
 
 import flax.linen as nn
 
@@ -21,18 +22,25 @@ import flax.linen as nn
 class ConvStack(nn.Module):
     features: Sequence[int]
     kernel_sizes: Sequence[int]
+    # Computation dtype (flax convention: params stay float32; None =
+    # promote inputs, i.e. float32 everywhere). bfloat16 runs the convs
+    # on the MXU at double rate — pass through from the model config.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None):
         # x: [B, T, C]; mask: [B, T] (1 = real).
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, (f, k) in enumerate(zip(self.features, self.kernel_sizes)):
             if mask is not None:
-                x = x * mask[..., None]
-            x = nn.Conv(f, kernel_size=(k,), padding="SAME", name=f"conv{i}")(x)
+                x = x * mask[..., None].astype(x.dtype)
+            x = nn.Conv(f, kernel_size=(k,), padding="SAME",
+                        dtype=self.dtype, name=f"conv{i}")(x)
             if i != len(self.features) - 1:
                 x = nn.relu(x)
         if mask is not None:
-            x = x * mask[..., None]
+            x = x * mask[..., None].astype(x.dtype)
         return x
 
 
@@ -41,20 +49,23 @@ class TextEncoder(nn.Module):
     vocab_size: int
     dim: int = 192
     hidden: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tokens, mask=None):
-        x = nn.Embed(self.vocab_size, self.hidden, name="embed")(tokens)
+        x = nn.Embed(self.vocab_size, self.hidden, dtype=self.dtype,
+                     name="embed")(tokens)
         return ConvStack((self.hidden, self.hidden, self.dim), (3, 3, 1),
-                         name="convs")(x, mask)
+                         dtype=self.dtype, name="convs")(x, mask)
 
 
 class MelEncoder(nn.Module):
     """Mel frames [B, T_y, n_mels] -> queries [B, T_y, dim]."""
     dim: int = 192
     hidden: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, mel, mask=None):
         return ConvStack((self.hidden, self.hidden, self.dim), (3, 3, 1),
-                         name="convs")(mel, mask)
+                         dtype=self.dtype, name="convs")(mel, mask)

@@ -57,6 +57,13 @@ class OTAConfig:
     # attention/losses then run over 2*T_x+1 expanded states, and the
     # outputs gain `pause_durations` [B, T_x+1].
     model_pauses: bool = False
+    # Mixed precision: "bfloat16" runs the encoders and the pairwise
+    # energy matmul at MXU bf16 rate (params stay float32, flax
+    # convention); the log-softmax, prior, forward-sum and MAS lattices
+    # always run in float32 — path bit-exactness is a property of the
+    # lattice the DP receives, which with bf16 encoders is (by design)
+    # a coarser lattice. Default float32 is numerically unchanged.
+    compute_dtype: str = "float32"
 
 
 class OTAAligner(nn.Module):
@@ -73,9 +80,12 @@ class OTAAligner(nn.Module):
         T_y = mel.shape[1]
         mel_mask = sequence_mask(mel_lengths, T_y)
 
+        dtype = (None if cfg.compute_dtype == "float32"
+                 else jnp.dtype(cfg.compute_dtype))
         text_mask = sequence_mask(text_lengths, T_x)
         keys = TextEncoder(cfg.vocab_size, cfg.dim, cfg.hidden,
-                           name="text_encoder")(tokens, text_mask)
+                           dtype=dtype, name="text_encoder")(
+            tokens, text_mask)
         if cfg.model_pauses:
             # ONE shared learned pause key, appended as an extra *label*
             # after the conv encoder (interleaving pause ids before the
@@ -86,19 +96,26 @@ class OTAAligner(nn.Module):
             pause_key = self.param(
                 "pause_key", nn.initializers.zeros, (cfg.dim,))
             keys = jnp.concatenate(
-                [keys, jnp.broadcast_to(pause_key[None, None, :],
-                                        (B, 1, cfg.dim))], axis=1)
+                [keys, jnp.broadcast_to(
+                    pause_key[None, None, :].astype(keys.dtype),
+                    (B, 1, cfg.dim))], axis=1)
             # label axis = T_x tokens + 1 pause class
             text_mask = jnp.concatenate(
                 [text_mask, jnp.ones((B, 1), text_mask.dtype)], axis=1)
-        queries = MelEncoder(cfg.dim, cfg.hidden,
+        queries = MelEncoder(cfg.dim, cfg.hidden, dtype=dtype,
                              name="mel_encoder")(mel, mel_mask)
 
         # Pairwise squared L2 via one MXU matmul:
-        # |q|² - 2 q·k + |k|², energies = -temp * dist².
-        q2 = jnp.sum(queries * queries, axis=-1, keepdims=True)   # [B,T_y,1]
-        k2 = jnp.sum(keys * keys, axis=-1)[:, None, :]            # [B,1,T_x]
-        qk = jnp.einsum("byd,bxd->byx", queries, keys)
+        # |q|² - 2 q·k + |k|², energies = -temp * dist². The big qk
+        # product runs in the compute dtype (bf16 inputs accumulate in
+        # f32 on the MXU); the squares and everything downstream are
+        # float32.
+        qf = queries.astype(jnp.float32)
+        kf = keys.astype(jnp.float32)
+        q2 = jnp.sum(qf * qf, axis=-1, keepdims=True)             # [B,T_y,1]
+        k2 = jnp.sum(kf * kf, axis=-1)[:, None, :]                # [B,1,T_x]
+        qk = jnp.einsum("byd,bxd->byx", queries, keys,
+                        preferred_element_type=jnp.float32)
         dist2 = q2 - 2.0 * qk + k2
         energies = -cfg.temperature * dist2
 
@@ -171,7 +188,9 @@ class OTAAligner(nn.Module):
             # Reconstruction runs over the label axis (tokens + pause
             # class): the pause key decodes to the silence spectrum,
             # anchoring silence frames to the pause class.
-            decoded = nn.Dense(cfg.n_mels, name="mel_decoder")(keys)
+            decoded = nn.Dense(cfg.n_mels, dtype=dtype,
+                               name="mel_decoder")(keys) \
+                .astype(jnp.float32)
             recon = jnp.einsum("byx,bxd->byd", jnp.exp(log_attn_labels),
                                decoded)
             frame_mask = mel_mask[..., None]

@@ -159,6 +159,34 @@ def test_ota_recon_auxiliary():
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
 
 
+def test_bfloat16_compute_dtype_trains():
+    """compute_dtype='bfloat16' runs encoders/energies at MXU bf16 rate:
+    params stay float32, the lattice and losses are float32, and
+    training still converges."""
+    model = OTAAligner(OTAConfig(vocab_size=50, dim=32, hidden=48,
+                                 mas_implementation="lax",
+                                 compute_dtype="bfloat16"))
+    batch = make_batch()
+    state = create_train_state(jax.random.PRNGKey(0), model, batch,
+                               learning_rate=1e-3)
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(state.params))
+    out = model.apply({"params": state.params}, batch["tokens"],
+                      batch["mel"], batch["text_lengths"],
+                      batch["mel_lengths"])
+    assert out["log_attn"].dtype == jnp.float32
+    assert np.isfinite(float(out["loss_forward_sum"]))
+    ppf = np.asarray(out["hard_path"].sum(-1))
+    for i in range(batch["tokens"].shape[0]):
+        assert (ppf[i, :int(batch["mel_lengths"][i])] == 1).all()
+    step = make_train_step(model, bin_start=-1, bin_ramp=1, donate=False)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
 def test_lr_schedule_values():
     from aligner_tpu.train import make_lr_schedule
 
