@@ -76,6 +76,10 @@ def build_parser():
     p.add_argument("--eval-split", type=float, default=0.0,
                    help="fraction of batches held out for validation "
                         "(logged as val_* metrics)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in "
+                        "--checkpoint-dir (same model/optimizer flags "
+                        "required)")
 
     p = sub.add_parser("align", help="emit durations for a wav corpus "
                                      "using a trained checkpoint")
@@ -404,7 +408,8 @@ def cmd_train(args):
                   warmup_steps=args.warmup_steps,
                   lr_schedule=args.lr_schedule,
                   grad_clip_norm=args.grad_clip,
-                  eval_batches=eval_batches)
+                  eval_batches=eval_batches,
+                  resume=args.resume)
     print(f"checkpoints in {args.checkpoint_dir}")
 
 

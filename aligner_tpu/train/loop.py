@@ -4,6 +4,7 @@ The reference has no training loop (SURVEY.md §5); this is the K8
 integration layer driven by the demo CLI."""
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Iterable
 
@@ -11,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .checkpoint import save_checkpoint, save_run_config
+from .checkpoint import restore_checkpoint, save_checkpoint, save_run_config
 from .step import (create_train_state, make_eval_step, make_lr_schedule,
                    make_train_step)
 
@@ -25,7 +26,8 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
                   warmup_steps: int = 0, lr_schedule: str = "constant",
                   grad_clip_norm: float | None = None,
                   eval_batches: Iterable[dict] | None = None,
-                  eval_every: int | None = None):
+                  eval_every: int | None = None,
+                  resume: bool = False):
     """Train on an iterable of padded batch dicts (cycled). Returns the
     final TrainState and a list of metric records. When checkpointing,
     the model config (and any `config_extra`, e.g. tokenizer info) is
@@ -35,7 +37,11 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
     `steps`); warmup_steps: linear warmup length; grad_clip_norm: global
     gradient-norm clip (None = off). eval_batches: held-out batches; the
     training objective is evaluated on them every `eval_every` steps
-    (default: log_every * 4) and logged as val_* metrics.
+    (default: log_every * 4) and logged as val_* metrics. resume=True
+    restores the latest checkpoint under checkpoint_dir (if any) and
+    continues until `steps` total optimizer steps; the run must use the
+    same model/optimizer settings as the original (the opt-state pytree
+    must match).
     """
     batches = list(batches)
     if checkpoint_dir is not None and hasattr(model, "config"):
@@ -57,6 +63,13 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
     state = create_train_state(jax.random.PRNGKey(0), model, first,
                                learning_rate=lr_arg, mesh=mesh,
                                grad_clip_norm=grad_clip_norm)
+    start_step = 0
+    if resume and checkpoint_dir is not None and \
+            os.path.isdir(checkpoint_dir) and \
+            any(d.isdigit() for d in os.listdir(checkpoint_dir)):
+        state = restore_checkpoint(checkpoint_dir, state)
+        start_step = int(state.step)
+        log_fn(f"resumed from {checkpoint_dir} at step {start_step}")
     step_fn = make_train_step(model, mesh=mesh, bin_start=bin_start,
                               bin_ramp=bin_ramp, donate=False)
     eval_batches = list(eval_batches) if eval_batches else None
@@ -67,7 +80,7 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
         eval_every = log_every * 4
     history = []
     t0 = time.time()
-    i = 0
+    i = start_step
     while i < steps:
         for b in batches:
             if i >= steps:

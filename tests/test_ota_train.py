@@ -255,6 +255,35 @@ def test_eval_step_and_loop_validation():
     assert lr_recs and lr_recs[0]["lr"] == pytest.approx(1e-3)
 
 
+def test_train_loop_resume(tmp_path):
+    """resume=True picks up from the latest checkpoint and runs only the
+    remaining steps; the resumed state's step counter continues."""
+    from aligner_tpu.train.loop import train_aligner
+
+    model = OTAAligner(OTAConfig(vocab_size=50, dim=32, hidden=48,
+                                 mas_implementation="lax"))
+    b = {k: np.asarray(v) for k, v in make_batch().items()}
+    ckpt = str(tmp_path / "ckpt")
+    state1, _ = train_aligner(model, [b], steps=3, learning_rate=1e-3,
+                              checkpoint_dir=ckpt, checkpoint_every=100,
+                              log_fn=lambda s: None)
+    assert int(state1.step) == 3
+    logs = []
+    state2, hist = train_aligner(model, [b], steps=5, learning_rate=1e-3,
+                                 checkpoint_dir=ckpt, resume=True,
+                                 log_every=1, log_fn=logs.append)
+    assert any("resumed" in s for s in logs)
+    assert int(state2.step) == 5
+    # only 2 additional steps were run
+    steps_logged = [r["step"] for r in hist if "loss" in r]
+    assert steps_logged and min(steps_logged) >= 4
+    # params actually moved on from the checkpoint
+    diff = jax.tree.leaves(jax.tree.map(
+        lambda a, c: bool(np.any(np.asarray(a) != np.asarray(c))),
+        state1.params, state2.params))
+    assert any(diff)
+
+
 def test_custom_objective_trains_mobo_and_romo():
     """make_train_step with a custom objective drives non-OTA models."""
     from aligner_tpu.models import MoBoAligner, MoBoConfig, RoMoAligner, \
