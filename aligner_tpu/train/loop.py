@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.prefetch import prefetch_to_device
+from ..parallel.mesh import batch_sharding
 from .checkpoint import restore_checkpoint, save_checkpoint, save_run_config
 from .step import (create_train_state, make_eval_step, make_lr_schedule,
                    make_train_step)
@@ -27,7 +29,7 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
                   grad_clip_norm: float | None = None,
                   eval_batches: Iterable[dict] | None = None,
                   eval_every: int | None = None,
-                  resume: bool = False):
+                  resume: bool = False, prefetch: int = 2):
     """Train on an iterable of padded batch dicts (cycled). Returns the
     final TrainState and a list of metric records. When checkpointing,
     the model config (and any `config_extra`, e.g. tokenizer info) is
@@ -78,14 +80,17 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
                if eval_batches else None)
     if eval_every is None:
         eval_every = log_every * 4
+    data_sharding = batch_sharding(mesh) if mesh is not None else None
     history = []
     t0 = time.time()
     i = start_step
     while i < steps:
-        for b in batches:
+        # Device transfers for the next `prefetch` batches are issued
+        # while the current step runs (JAX transfers are async).
+        for batch in prefetch_to_device(batches, max(prefetch, 1),
+                                        sharding=data_sharding):
             if i >= steps:
                 break
-            batch = {k: jnp.asarray(v) for k, v in b.items()}
             state, metrics = step_fn(state, batch)
             i += 1
             if i % log_every == 0 or i == steps:

@@ -120,3 +120,24 @@ def test_boundary_f1_and_frame_accuracy():
     np.testing.assert_allclose(frame_accuracy(pred, true), 13 / 14)
     # degenerate single-token alignments
     assert boundary_f1([7], [7])["f1"] == 1.0
+
+
+def test_prefetch_to_device_order_and_content():
+    import numpy as np
+
+    from aligner_tpu.data import prefetch_to_device
+
+    batches = [{"a": np.full((2, 3), i, np.float32), "i": np.array([i])}
+               for i in range(5)]
+    out = list(prefetch_to_device(batches, size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert int(b["i"][0]) == i                     # order preserved
+        assert hasattr(b["a"], "devices")              # on device
+        np.testing.assert_array_equal(np.asarray(b["a"]), batches[i]["a"])
+    # fewer batches than the prefetch window
+    short = list(prefetch_to_device(batches[:1], size=4))
+    assert len(short) == 1
+    import pytest
+    with pytest.raises(ValueError, match="size"):
+        list(prefetch_to_device(batches, size=0))
