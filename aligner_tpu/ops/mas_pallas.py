@@ -671,6 +671,85 @@ def mas_pallas_fused_nat(value, t_x, t_y, *, interpret: bool = False,
     return path[:T_y]
 
 
+def _forward_kernel_natv(val_ref, bits_ref, carry_ref,
+                         *, max_neg_val: float = MAX_NEG_VAL):
+    """Natural-input forward sweep for the two-kernel pipeline: value
+    blocks arrive in the reference's [B, T_x, chunk] layout, are
+    transposed in-kernel, and the decision bits stream to HBM time-major
+    for the (unchanged) backtrack kernel. Extends the transpose-free
+    input path to shapes whose bit lattice exceeds the fused VMEM
+    budget (e.g. B=64 at 128x1024/2048). Python-unrolled frame loops
+    for the same reason as _fused_kernel_nat (values cannot be
+    dynamically indexed)."""
+    B, T_x, chunk = val_ref.shape
+    i = pl.program_id(0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (B, T_x), 1)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    def fwd(first_body):
+        vt = jnp.transpose(val_ref[:], (2, 0, 1))
+        prev = carry_ref[:]
+        if first_body:
+            for j in range(chunk):
+                bits, prev = _fwd_step_full(prev, vt[j], i * chunk + j, x,
+                                            max_neg_val)
+                bits_ref[j] = bits
+        elif chunk % 2 == 0 and T_x >= 2:
+            for jj in range(chunk // 2):
+                j = 2 * jj
+                bitsA, bitsB, prev = _fwd_pair_fast(
+                    prev, vt[j], vt[j + 1], x, max_neg_val)
+                bits_ref[j] = bitsA
+                bits_ref[j + 1] = bitsB
+        else:
+            for j in range(chunk):
+                bits, prev = _fwd_step_fast(prev, vt[j], x, max_neg_val)
+                bits_ref[j] = bits
+        return prev
+
+    @pl.when(i * chunk < T_x)
+    def _():
+        carry_ref[:] = fwd(True)
+
+    @pl.when(i * chunk >= T_x)
+    def _():
+        carry_ref[:] = fwd(False)
+
+
+def mas_pallas_bits_nat(value, *, interpret: bool = False,
+                        max_neg_val: float = MAX_NEG_VAL,
+                        _chunk: int | None = None):
+    """Forward sweep over a natural-layout [B, T_x, T_y] lattice ->
+    int8 decision bits time-major [T_y_pad, B, T_x] (T_y padded to a
+    multiple of 128, or of 8 when T_y <= 128)."""
+    B, T_x, T_y = value.shape
+    pad = (-T_y) % (128 if T_y > 128 else 8)
+    if pad:
+        value = jnp.pad(value, ((0, 0), (0, 0), (0, pad)))
+    T_yp = T_y + pad
+    chunk = _chunk or (128 if T_yp % 128 == 0 else T_yp)
+    return pl.pallas_call(
+        functools.partial(_forward_kernel_natv, max_neg_val=max_neg_val),
+        grid=(T_yp // chunk,),
+        in_specs=[pl.BlockSpec((B, T_x, chunk), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((chunk, B, T_x), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_yp, B, T_x), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((B, T_x), jnp.float32)],
+        interpret=interpret,
+    )(value.astype(jnp.float32))
+
+
+# Double-buffered natural value blocks (2 * B * T_x * 128 * 4 bytes)
+# must fit alongside the int8 bits block; B*T_x up to 8192 (B=64 at
+# T_x=128) keeps the forward kernel within ~10 MB VMEM.
+NAT_FWD_MAX_ELEMS = 8192
+
+
 def _pick_chunk(T_y: int, B: int = 32, T_x: int = 128,
                 budget_bytes: int = 4 * 1024 * 1024) -> int:
     """Largest frame-chunk whose double-buffered f32 block fits the VMEM
@@ -853,6 +932,13 @@ def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None,
                                       interpret=interpret,
                                       max_neg_val=max_neg_val, quad=quad)
         return jnp.transpose(path_t, (1, 2, 0)).astype(jnp.float32)
+    if fuse is not False and natural_ok and B * T_x <= NAT_FWD_MAX_ELEMS:
+        # Bit lattice too large for the fused VMEM scratch, but the
+        # forward sweep can still read the reference layout directly.
+        bits = mas_pallas_bits_nat(value, interpret=interpret,
+                                   max_neg_val=max_neg_val)
+        path_t = mas_pallas_backtrack(bits, t_x, t_y, interpret=interpret)
+        return jnp.transpose(path_t[:T_y], (1, 2, 0)).astype(jnp.float32)
     # Time-major layout: dynamic per-frame indexing lands on dim 0, which
     # has no TPU sublane/lane tiling constraint.
     vt = jnp.transpose(value.astype(jnp.float32), (2, 0, 1))

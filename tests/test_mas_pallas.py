@@ -228,6 +228,27 @@ def test_tie_stress_quantized_lattice(quad):
                                   oracle(value, t_xs, t_ys))
 
 
+def test_natural_two_kernel_forward():
+    """mas_pallas_bits_nat + the unchanged backtrack: the natural-input
+    path for bit lattices beyond the fused VMEM budget."""
+    from aligner_tpu.ops.mas_pallas import (mas_pallas_backtrack,
+                                            mas_pallas_bits_nat)
+
+    rng = np.random.default_rng(61)
+    B, T_x, T_y = 3, 8, 40
+    value = (rng.standard_normal((B, T_x, T_y)) * 3).astype(np.float32)
+    t_xs = rng.integers(1, T_x + 1, B)
+    t_ys = np.maximum(t_xs, rng.integers(T_y // 2, T_y + 1, B))
+    bits = mas_pallas_bits_nat(jnp.asarray(value), interpret=True,
+                               _chunk=8)
+    path_t = mas_pallas_backtrack(bits, jnp.asarray(t_xs, jnp.int32),
+                                  jnp.asarray(t_ys, jnp.int32),
+                                  interpret=True)
+    got = np.asarray(jnp.transpose(path_t[:T_y], (1, 2, 0))) \
+        .astype(np.int32)
+    np.testing.assert_array_equal(got, oracle(value, t_xs, t_ys))
+
+
 def test_fused_budget_error():
     from aligner_tpu.ops.mas_pallas import FUSED_BITS_BUDGET, mas_pallas_tm
     T_y = 8 * ((FUSED_BITS_BUDGET // (2 * 128)) // 8 + 8)
