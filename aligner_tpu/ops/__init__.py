@@ -6,10 +6,12 @@ from .mas_reference import mas_single, maximum_path_numpy
 from .mel import MelConfig, log_mel_spectrogram, mel_filterbank, spectrogram
 from .mobo import mobo_forward, mobo_hard_boundaries, mobo_loss
 from .prior import beta_binomial_log_prior
+from .regularizers import attention_centroids, monotonic_attention_loss
 
 __all__ = [
     "MelConfig",
     "alignment_posteriors",
+    "attention_centroids",
     "beta_binomial_log_prior",
     "forward_sum_loss",
     "forward_sum_loss_with_posteriors",
@@ -25,5 +27,6 @@ __all__ = [
     "mobo_forward",
     "mobo_hard_boundaries",
     "mobo_loss",
+    "monotonic_attention_loss",
     "spectrogram",
 ]

@@ -141,3 +141,40 @@ def test_prefetch_to_device_order_and_content():
     import pytest
     with pytest.raises(ValueError, match="size"):
         list(prefetch_to_device(batches, size=0))
+
+
+def test_monotonic_attention_loss():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aligner_tpu.ops import monotonic_attention_loss
+
+    B, T_y, T_x = 2, 12, 6
+    # perfectly monotone: two frames per token
+    mono = np.zeros((B, T_y, T_x), np.float32)
+    for t in range(T_y):
+        mono[:, t, min(t // 2, T_x - 1)] = 1.0
+    mel_lengths = jnp.array([12, 9], jnp.int32)
+    l_mono = monotonic_attention_loss(jnp.asarray(mono), mel_lengths)
+    assert float(l_mono) == 0.0
+
+    # reversed alignment: every adjacent pair regresses
+    rev = mono[:, ::-1, :].copy()
+    l_rev = monotonic_attention_loss(jnp.asarray(rev), mel_lengths)
+    assert float(l_rev) > 0.2
+
+    # slack forgives small regressions
+    l_slack = monotonic_attention_loss(jnp.asarray(rev), mel_lengths,
+                                       slack=10.0)
+    assert float(l_slack) == 0.0
+
+    # differentiable and finite through a softmax parameterisation
+    def loss(logits):
+        return monotonic_attention_loss(jax.nn.softmax(logits, -1),
+                                        mel_lengths,
+                                        text_lengths=jnp.array([6, 4]))
+    g = jax.grad(loss)(jnp.asarray(np.random.default_rng(0)
+                                   .standard_normal((B, T_y, T_x))
+                                   .astype(np.float32)))
+    assert np.isfinite(np.asarray(g)).all()
