@@ -932,9 +932,11 @@ def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None,
                                       interpret=interpret,
                                       max_neg_val=max_neg_val, quad=quad)
         return jnp.transpose(path_t, (1, 2, 0)).astype(jnp.float32)
-    if fuse is not False and natural_ok and B * T_x <= NAT_FWD_MAX_ELEMS:
+    if fuse is None and natural_ok and B * T_x <= NAT_FWD_MAX_ELEMS:
         # Bit lattice too large for the fused VMEM scratch, but the
         # forward sweep can still read the reference layout directly.
+        # (fuse=True must fall through to mas_pallas_tm, which raises
+        # the documented budget error instead of silently downgrading.)
         bits = mas_pallas_bits_nat(value, interpret=interpret,
                                    max_neg_val=max_neg_val)
         path_t = mas_pallas_backtrack(bits, t_x, t_y, interpret=interpret)

@@ -42,6 +42,17 @@ def load_run_config(directory: str) -> dict | None:
         return json.load(f)
 
 
+def latest_step(directory: str) -> int | None:
+    """The newest checkpoint step under `directory`, or None if the
+    directory holds no checkpoints. The single source of truth for what
+    counts as a checkpoint entry (a digit-named subdirectory)."""
+    directory = os.path.abspath(directory)
+    if not os.path.isdir(directory):
+        return None
+    steps = [int(d) for d in os.listdir(directory) if d.isdigit()]
+    return max(steps) if steps else None
+
+
 def save_checkpoint(directory: str, state, step: int | None = None,
                     wait: bool = True):
     """Save a TrainState (or any pytree) under `directory/<step>`."""
@@ -59,10 +70,9 @@ def restore_checkpoint(directory: str, target, step: int | None = None):
     TrainState). If step is None, restores the latest."""
     directory = os.path.abspath(directory)
     if step is None:
-        steps = [int(d) for d in os.listdir(directory) if d.isdigit()]
-        if not steps:
+        step = latest_step(directory)
+        if step is None:
             raise FileNotFoundError(f"no checkpoints under {directory}")
-        step = max(steps)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.join(directory, str(step)), target)
 
@@ -78,10 +88,9 @@ def restore_params(directory: str, params_target, step: int | None = None):
     """
     directory = os.path.abspath(directory)
     if step is None:
-        steps = [int(d) for d in os.listdir(directory) if d.isdigit()]
-        if not steps:
+        step = latest_step(directory)
+        if step is None:
             raise FileNotFoundError(f"no checkpoints under {directory}")
-        step = max(steps)
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(
         os.path.join(directory, str(step)),

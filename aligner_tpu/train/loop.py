@@ -4,7 +4,7 @@ The reference has no training loop (SURVEY.md §5); this is the K8
 integration layer driven by the demo CLI."""
 from __future__ import annotations
 
-import os
+import itertools
 import time
 from collections.abc import Iterable
 
@@ -14,7 +14,8 @@ import numpy as np
 
 from ..data.prefetch import prefetch_to_device
 from ..parallel.mesh import batch_sharding
-from .checkpoint import restore_checkpoint, save_checkpoint, save_run_config
+from .checkpoint import (latest_step, restore_checkpoint, save_checkpoint,
+                         save_run_config)
 from .step import (create_train_state, make_eval_step, make_lr_schedule,
                    make_train_step)
 
@@ -46,8 +47,6 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
     must match).
     """
     batches = list(batches)
-    if checkpoint_dir is not None and hasattr(model, "config"):
-        save_run_config(checkpoint_dir, model.config, config_extra)
     if lr_schedule == "constant" and warmup_steps <= 0:
         # Keep the optimizer-state pytree identical to the default
         # create_train_state (a float LR, no ScaleByScheduleState) so
@@ -67,11 +66,15 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
                                grad_clip_norm=grad_clip_norm)
     start_step = 0
     if resume and checkpoint_dir is not None and \
-            os.path.isdir(checkpoint_dir) and \
-            any(d.isdigit() for d in os.listdir(checkpoint_dir)):
+            latest_step(checkpoint_dir) is not None:
         state = restore_checkpoint(checkpoint_dir, state)
         start_step = int(state.step)
         log_fn(f"resumed from {checkpoint_dir} at step {start_step}")
+    # Write config.json only after a successful restore: a mismatched
+    # resume must fail before this run's config can overwrite the
+    # checkpoint directory's metadata.
+    if checkpoint_dir is not None and hasattr(model, "config"):
+        save_run_config(checkpoint_dir, model.config, config_extra)
     step_fn = make_train_step(model, mesh=mesh, bin_start=bin_start,
                               bin_ramp=bin_ramp, donate=False)
     eval_batches = list(eval_batches) if eval_batches else None
@@ -83,42 +86,43 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
     data_sharding = batch_sharding(mesh) if mesh is not None else None
     history = []
     t0 = time.time()
+    # One transfer pipeline over an endless batch cycle: the next
+    # `prefetch` batches' device transfers are issued while the current
+    # step runs, and the pipeline stays full across epoch boundaries.
+    stream = prefetch_to_device(itertools.cycle(batches),
+                                max(prefetch, 1), sharding=data_sharding)
     i = start_step
-    while i < steps:
-        # Device transfers for the next `prefetch` batches are issued
-        # while the current step runs (JAX transfers are async).
-        for batch in prefetch_to_device(batches, max(prefetch, 1),
-                                        sharding=data_sharding):
-            if i >= steps:
-                break
-            state, metrics = step_fn(state, batch)
-            i += 1
-            if i % log_every == 0 or i == steps:
-                rec = {k: float(v) for k, v in metrics.items()}
-                rec.update(step=i, wall_s=round(time.time() - t0, 1),
-                           lr=(float(schedule(i)) if schedule is not None
-                               else learning_rate))
-                history.append(rec)
-                detail = "  ".join(
-                    f"{k.removeprefix('loss_')} {v:8.4f}"
-                    for k, v in rec.items()
-                    if k not in ("loss", "step", "wall_s", "lr"))
-                log_fn(f"step {i:6d}  loss {rec['loss']:8.4f}  "
-                       f"{detail}  [{rec['wall_s']}s]")
-            if eval_fn and (i % eval_every == 0 or i == steps):
-                vals = []
-                for eb in eval_batches:
-                    ebj = {k: jnp.asarray(v) for k, v in eb.items()}
-                    vals.append({k: float(v)
-                                 for k, v in eval_fn(state, ebj).items()})
-                val = {f"val_{k}": float(np.mean([v[k] for v in vals]))
-                       for k in vals[0]}
-                val["step"] = i
-                history.append(val)
-                log_fn(f"step {i:6d}  val_loss {val['val_loss']:8.4f}  "
-                       f"val_fs {val.get('val_loss_forward_sum', 0.0):8.4f}")
-            if checkpoint_dir and i % checkpoint_every == 0:
-                save_checkpoint(checkpoint_dir, state)
+    for batch in stream:
+        if i >= steps:
+            break
+        state, metrics = step_fn(state, batch)
+        i += 1
+        if i % log_every == 0 or i == steps:
+            rec = {k: float(v) for k, v in metrics.items()}
+            rec.update(step=i, wall_s=round(time.time() - t0, 1),
+                       lr=(float(schedule(i)) if schedule is not None
+                           else learning_rate))
+            history.append(rec)
+            detail = "  ".join(
+                f"{k.removeprefix('loss_')} {v:8.4f}"
+                for k, v in rec.items()
+                if k not in ("loss", "step", "wall_s", "lr"))
+            log_fn(f"step {i:6d}  loss {rec['loss']:8.4f}  "
+                   f"{detail}  [{rec['wall_s']}s]")
+        if eval_fn and (i % eval_every == 0 or i == steps):
+            vals = []
+            for eb in eval_batches:
+                ebj = {k: jnp.asarray(v) for k, v in eb.items()}
+                vals.append({k: float(v)
+                             for k, v in eval_fn(state, ebj).items()})
+            val = {f"val_{k}": float(np.mean([v[k] for v in vals]))
+                   for k in vals[0]}
+            val["step"] = i
+            history.append(val)
+            log_fn(f"step {i:6d}  val_loss {val['val_loss']:8.4f}  "
+                   f"val_fs {val.get('val_loss_forward_sum', 0.0):8.4f}")
+        if checkpoint_dir and i % checkpoint_every == 0:
+            save_checkpoint(checkpoint_dir, state)
     if checkpoint_dir:
         save_checkpoint(checkpoint_dir, state)
     return state, history

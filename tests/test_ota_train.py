@@ -284,6 +284,30 @@ def test_train_loop_resume(tmp_path):
     assert any(diff)
 
 
+def test_resume_mismatch_preserves_config(tmp_path):
+    """A mismatched resume must fail BEFORE this run's config can
+    overwrite the checkpoint directory's config.json."""
+    import json
+
+    from aligner_tpu.train.loop import train_aligner
+
+    b = {k: np.asarray(v) for k, v in make_batch().items()}
+    ckpt = str(tmp_path / "ckpt")
+    model32 = OTAAligner(OTAConfig(vocab_size=50, dim=32, hidden=48,
+                                   mas_implementation="lax"))
+    train_aligner(model32, [b], steps=2, learning_rate=1e-3,
+                  checkpoint_dir=ckpt, log_fn=lambda s: None)
+    model48 = OTAAligner(OTAConfig(vocab_size=50, dim=48, hidden=48,
+                                   mas_implementation="lax"))
+    with pytest.raises(Exception):
+        train_aligner(model48, [b], steps=4, learning_rate=1e-3,
+                      checkpoint_dir=ckpt, resume=True,
+                      log_fn=lambda s: None)
+    cfg = json.load(open(tmp_path / "ckpt" / "config.json"))
+    assert cfg["model_config"]["dim"] == 32, \
+        "failed resume overwrote the checkpoint's config.json"
+
+
 def test_custom_objective_trains_mobo_and_romo():
     """make_train_step with a custom objective drives non-OTA models."""
     from aligner_tpu.models import MoBoAligner, MoBoConfig, RoMoAligner, \
