@@ -40,15 +40,32 @@ core.pyx:9-45). Kernels over a time-major [T_y, B, T_x] layout:
   is the low-latency path for the B=1 serving regime (the two-kernel
   pipeline's second launch + bits round-trip dominates at small B).
 
-Both pipelines share the per-step recurrence helpers below, so the
-bit-exactness rules (tie semantics, composed two-step algebra) live in
+* **Natural-input variants** — the drop-in contract is the reference's
+  [B, T_x, T_y] layout; `_fused_kernel_nat` (and `_forward_kernel_natv`
+  for bit lattices beyond the fused budget) read it directly via an
+  in-kernel block transpose, deleting the standalone XLA transpose's
+  HBM round-trip (the dominant wrapper cost at large B).
+
+* **Composed recurrences** — the kernels are VPU-latency-chain-bound,
+  so the fast region advances two frames (`_fwd_pair_fast`/`_bt_pair`)
+  or, in the latency regime (B*T_x <= QUAD_MAX_ELEMS), four frames
+  (`_fwd_quad_fast`/`_bt_quad`) per cross-lane shift latency, with
+  every composition coefficient computed off the critical chain. Bit-
+  exactness rests on one lemma, applied iteratively: f32 rounding is
+  monotone, so max(fl(q+a), fl(q+b)) == fl(q + max(a, b)) — the max
+  may be distributed over a common addend, but additions are never
+  re-associated, so every path keeps the sequential left-to-right sum.
+
+All pipelines share the per-step recurrence helpers below (and the
+`_bt_half` backtrack scaffold), so the bit-exactness rules live in
 exactly one place. Lane shifts across token positions use zero-padded
 slice+concat (`_shift_right`/`_shift_left` — ~3x lower chained latency
 than `pltpu.roll` on sub-tile rows, see the helper comment); shifted-in
 lanes are either masked or provably zero. Ties match the reference
 exactly (strict `<` in the bit predicate: ties keep the token,
 transitions happen as early as possible). Items with t_x > t_y
-(reference UB, core.pyx:32-35) return all-zero paths.
+(reference UB, core.pyx:32-35) return all-zero paths. Measured numbers:
+docs/PERF.md; the microbenchmarks behind each choice: docs/design.md.
 """
 from __future__ import annotations
 

@@ -36,14 +36,101 @@ from .mas_pallas import (_pad_frames, _pick_chunk, _shift_left,
 MAX_NEG_VAL = -1e9
 NEG = -1e15
 
+# Latency-regime gate for the pair-composed Viterbi sweeps (mirrors
+# mas_pallas.QUAD_MAX_ELEMS): below this many B*T_s elements per column
+# the chain latency dominates and two frames per cross-lane shift win.
+SKIP_PAIR_MAX_ELEMS = 4096
+
 
 def _skip_mask(B, T_s):
     s = jax.lax.broadcasted_iota(jnp.int32, (B, T_s), 1)
     return s, (s % 2 == 1) & (s >= 3)
 
 
+def _viterbi_pair_step(prev, c1, c2, y1, ty, s, max_neg_val):
+    """Two composed skip-Viterbi frames (columns c1 then c2): nine
+    (m1, m2) move-pair candidates over moves {stay, advance, skip-2},
+    with each move's validity mask evaluated at its destination state
+    — one cross-lane shift latency for two frames. Exact by the same
+    distribute lemma as the MAS compositions (the max is distributed
+    over the common per-level addends c1[s - m2] and c2[s]; additions
+    are never re-associated). The y == 0 initialisation and the
+    per-item y >= t_y freeze are handled by explicit selects against
+    the (off-chain) single-step results.
+
+    Returns (trit1, trit2 int8 move emissions, new carry column)."""
+    shr = _shift_right
+    y2 = y1 + 1
+    # destination-validity masks (static in s, off the carry chain)
+    m1_s = s >= 1
+    m2_s = (s % 2 == 1) & (s >= 3)            # can_skip at s
+    m1_s1 = s >= 2                            # mask1 at s-1
+    m2_s1 = (s % 2 == 0) & (s >= 4)           # can_skip at s-1
+    m1_s2 = s >= 3                            # mask1 at s-2
+    m2_s2 = (s % 2 == 1) & (s >= 5)           # can_skip at s-2
+
+    r1, r2 = shr(prev, 1), shr(prev, 2)
+    r3, r4 = shr(prev, 3), shr(prev, 4)
+    c1s1, c1s2 = shr(c1, 1), shr(c1, 2)
+
+    def sel(mask, r):
+        return jnp.where(mask, r, max_neg_val)
+
+    # (m1, m2) candidates; per-path value keeps the sequential
+    # left-to-right addition order.
+    t00 = prev + c1
+    t10 = sel(m1_s, r1) + c1
+    t20 = sel(m2_s, r2) + c1
+    t01 = sel(m1_s, r1) + c1s1
+    t11 = sel(m1_s & m1_s1, r2) + c1s1
+    t21 = sel(m1_s & m2_s1, r3) + c1s1
+    t02 = sel(m2_s, r2) + c1s2
+    t12 = sel(m2_s & m1_s2, r3) + c1s2
+    t22 = sel(m2_s & m2_s2, r4) + c1s2
+    u2_active = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.maximum(t00, t10), jnp.maximum(t20, t01)),
+                    jnp.maximum(jnp.maximum(t11, t21), jnp.maximum(t02, t12))),
+        t22) + c2
+
+    # intermediate column u1 (exact sequential value; off the carry
+    # chain — the shifts it needs are already computed)
+    p1 = sel(m1_s, r1)
+    p2 = sel(m2_s, r2)
+    best1_1 = jnp.maximum(prev, p1)
+    u1_active = jnp.maximum(best1_1, p2) + c1
+    init1 = jnp.where(s < 2, c1, max_neg_val)
+    u1 = jnp.where(y1 == 0, init1,
+                   jnp.where(y1 < ty, u1_active, prev))
+
+    # y1 == 0 fallback for u2: one plain step from the init column
+    # (all operands are c1-derived — off-chain)
+    u2_from_init = jnp.maximum(
+        jnp.maximum(init1, sel(m1_s, shr(init1, 1))),
+        sel(m2_s, shr(init1, 2))) + c2
+    u2 = jnp.where(y2 < ty,
+                   jnp.where(y1 == 0, u2_from_init,
+                             jnp.where(y1 < ty, u2_active, prev)),
+                   u1)
+
+    # move trits (ties prefer smaller moves, matching the per-frame
+    # kernel exactly: strict > comparisons)
+    take2_1 = (p2 > best1_1).astype(jnp.float32)
+    take1_1 = (p1 > prev).astype(jnp.float32) * (1.0 - take2_1)
+    gate1 = ((y1 < ty) & (y1 != 0)).astype(jnp.float32)
+    trit1 = ((take1_1 + 2.0 * take2_1) * gate1).astype(jnp.int8)
+
+    q1 = sel(m1_s, shr(u1, 1))
+    q2 = sel(m2_s, shr(u1, 2))
+    best1_2 = jnp.maximum(u1, q1)
+    take2_2 = (q2 > best1_2).astype(jnp.float32)
+    take1_2 = (q1 > u1).astype(jnp.float32) * (1.0 - take2_2)
+    gate2 = (y2 < ty).astype(jnp.float32)      # y2 >= 1 always
+    trit2 = ((take1_2 + 2.0 * take2_2) * gate2).astype(jnp.int8)
+    return trit1, trit2, u2
+
+
 def _viterbi_fwd_kernel(ty_ref, val_ref, moves_ref, final_ref, carry_ref,
-                        *, max_neg_val: float):
+                        *, max_neg_val: float, pair: bool = False):
     chunk = val_ref.shape[0]
     B, T_s = carry_ref.shape
     i = pl.program_id(0)
@@ -80,15 +167,29 @@ def _viterbi_fwd_kernel(ty_ref, val_ref, moves_ref, final_ref, carry_ref,
         # the carry at frame t_y - 1 for the start-state choice)
         return jnp.where(y < ty, new, prev)
 
-    carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:],
-                                     unroll=True)
+    def pair_body(jj, prev):
+        j = 2 * jj
+        trit1, trit2, new = _viterbi_pair_step(
+            prev, val_ref[j], val_ref[j + 1], i * chunk + j, ty, s,
+            max_neg_val)
+        moves_ref[j] = trit1
+        moves_ref[j + 1] = trit2
+        return new
+
+    if pair and chunk % 2 == 0:
+        carry_ref[:] = jax.lax.fori_loop(0, chunk // 2, pair_body,
+                                         carry_ref[:], unroll=True)
+    else:
+        carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:],
+                                         unroll=True)
 
     @pl.when(i == n - 1)
     def _():
         final_ref[:] = carry_ref[:]
 
 
-def _viterbi_bwd_kernel(ty_ref, ind0_ref, moves_ref, path_ref, ind_ref):
+def _viterbi_bwd_kernel(ty_ref, ind0_ref, moves_ref, path_ref, ind_ref,
+                        *, pair: bool = False):
     chunk = moves_ref.shape[0]
     B, T_s = ind_ref.shape
     i = pl.program_id(0)
@@ -118,19 +219,64 @@ def _viterbi_bwd_kernel(ty_ref, ind0_ref, moves_ref, path_ref, ind_ref):
                 + _shift_left(s1, 1)
                 + _shift_left(s2, 2))
 
-    ind_ref[:] = jax.lax.fori_loop(0, chunk, body, ind_ref[:],
-                                   unroll=True)
+    def pair_body(jj, ind):
+        # Two composed trit steps: the move-0..4 masses D_M depend only
+        # on the (activity-gated) trit rows — off the indicator chain —
+        # so ind advances two frames per cross-lane shift latency.
+        # Exact one-hot x {0,1,2}-indicator algebra in f32; an inactive
+        # frame has gated mv = 0, i.e. a pure stay.
+        j_hi = chunk - 1 - 2 * jj
+        j_lo = j_hi - 1
+        y_hi = base + j_hi
+        a_hi = (y_hi < ty).astype(jnp.float32)
+        a_lo = (y_hi - 1 < ty).astype(jnp.float32)
+        mh = moves_ref[j_hi].astype(jnp.float32) * a_hi
+        ml = moves_ref[j_lo].astype(jnp.float32) * a_lo
+        h0 = (mh - 1.0) * (mh - 2.0) * 0.5
+        h1 = mh * (2.0 - mh)
+        h2 = mh * (mh - 1.0) * 0.5
+        l0 = (ml - 1.0) * (ml - 2.0) * 0.5
+        l1 = ml * (2.0 - ml)
+        l2 = ml * (ml - 1.0) * 0.5
+        shr = _shift_right
+        D0 = h0 * l0
+        D1 = h0 * l1 + h1 * shr(l0, 1)
+        D2 = h0 * l2 + h1 * shr(l1, 1) + h2 * shr(l0, 2)
+        D3 = h1 * shr(l2, 1) + h2 * shr(l1, 2)
+        D4 = h2 * shr(l2, 2)
+        path_ref[j_hi] = (ind * a_hi).astype(jnp.int8)
+        s1 = ind * h1                      # == emit_hi * b1 (gated)
+        s2 = ind * h2
+        ind_mid = (ind - s1 - s2 + _shift_left(s1, 1)
+                   + _shift_left(s2, 2))
+        path_ref[j_lo] = (ind_mid * a_lo).astype(jnp.int8)
+        return (ind * D0
+                + _shift_left(ind * D1, 1) + _shift_left(ind * D2, 2)
+                + _shift_left(ind * D3, 3) + _shift_left(ind * D4, 4))
+
+    if pair and chunk % 2 == 0:
+        ind_ref[:] = jax.lax.fori_loop(0, chunk // 2, pair_body,
+                                       ind_ref[:], unroll=True)
+    else:
+        ind_ref[:] = jax.lax.fori_loop(0, chunk, body, ind_ref[:],
+                                       unroll=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "max_neg_val"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "max_neg_val", "pair"))
 def mas_skip_pallas(value, t_x, t_y, *, interpret: bool | None = None,
-                    max_neg_val: float = MAX_NEG_VAL):
+                    max_neg_val: float = MAX_NEG_VAL,
+                    pair: bool | None = None):
     """Batched pause-aware Viterbi on TPU. value: [B, T_s, T_y] f32
     (state-major, T_s >= 2*max(t_x)+1); t_x, t_y: [B] int32. Returns 0/1
-    paths [B, T_s, T_y] f32, identical to skip_dp.mas_skip_lax."""
+    paths [B, T_s, T_y] f32, identical to skip_dp.mas_skip_lax.
+    pair: None enables the two-frame composed sweeps in the latency
+    regime (B*T_s <= SKIP_PAIR_MAX_ELEMS); True/False force."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     B, T_s, T_y0 = value.shape
+    if pair is None:
+        pair = B * T_s <= SKIP_PAIR_MAX_ELEMS
     vt = jnp.transpose(value.astype(jnp.float32), (2, 0, 1))
     vt, _ = _pad_frames(vt)
     T_y = vt.shape[0]
@@ -142,7 +288,8 @@ def mas_skip_pallas(value, t_x, t_y, *, interpret: bool | None = None,
     seq_spec = lambda ix: pl.BlockSpec((chunk, B, T_s), ix,
                                        memory_space=pltpu.VMEM)
     moves, final = pl.pallas_call(
-        functools.partial(_viterbi_fwd_kernel, max_neg_val=max_neg_val),
+        functools.partial(_viterbi_fwd_kernel, max_neg_val=max_neg_val,
+                          pair=pair and chunk % 2 == 0),
         grid=(grid,),
         in_specs=[len_spec, seq_spec(lambda i: (i, 0, 0))],
         out_specs=(seq_spec(lambda i: (i, 0, 0)), len_spec),
@@ -167,7 +314,8 @@ def mas_skip_pallas(value, t_x, t_y, *, interpret: bool | None = None,
 
     rev = lambda i: (grid - 1 - i, 0, 0)
     path = pl.pallas_call(
-        _viterbi_bwd_kernel,
+        functools.partial(_viterbi_bwd_kernel,
+                          pair=pair and chunk % 2 == 0),
         grid=(grid,),
         in_specs=[len_spec, len_spec, seq_spec(rev)],
         out_specs=seq_spec(rev),

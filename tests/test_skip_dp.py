@@ -198,8 +198,12 @@ def test_forward_sum_skip_degenerate_and_inf_safe():
 # Pallas kernels (interpret mode on CPU; real TPU covered by bench/verify)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.parametrize("pair", [None, False])
 @pytest.mark.parametrize("seed", range(3))
-def test_mas_skip_pallas_matches_lax(seed):
+def test_mas_skip_pallas_matches_lax(seed, pair):
+    """pair=None auto-enables the two-frame composed sweeps at these
+    latency-regime shapes; pair=False keeps the per-frame bodies
+    covered."""
     from aligner_tpu.ops.skip_dp_pallas import mas_skip_pallas
 
     rng = np.random.default_rng(seed)
@@ -209,7 +213,8 @@ def test_mas_skip_pallas_matches_lax(seed):
     t_x = rng.integers(1, T_x_max + 1, B).astype(np.int32)
     t_y = np.maximum(rng.integers(2, T_y + 1, B), t_x).astype(np.int32)
     got = np.asarray(mas_skip_pallas(jnp.asarray(v), jnp.asarray(t_x),
-                                     jnp.asarray(t_y), interpret=True))
+                                     jnp.asarray(t_y), interpret=True,
+                                     pair=pair))
     want = np.asarray(mas_skip_lax(jnp.asarray(v), jnp.asarray(t_x),
                                    jnp.asarray(t_y)))
     np.testing.assert_array_equal(got, want)
