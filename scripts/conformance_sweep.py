@@ -37,6 +37,7 @@ SHAPES = [
     (64, 128, 1024, "natural two-kernel forward"),
     (64, 128, 2048, "natural two-kernel forward (config 5)"),
     (72, 128, 1024, "tm two-kernel (> NAT_FWD gate)"),
+    (256, 128, 1024, "tm two-kernel (serving)"),
 ]
 
 
