@@ -176,7 +176,7 @@ def _viterbi_fwd_kernel(ty_ref, val_ref, moves_ref, final_ref, carry_ref,
         moves_ref[j + 1] = trit2
         return new
 
-    if pair and chunk % 2 == 0:
+    if pair:  # call sites guarantee chunk % 2 == 0 when pair is set
         carry_ref[:] = jax.lax.fori_loop(0, chunk // 2, pair_body,
                                          carry_ref[:], unroll=True)
     else:
@@ -254,7 +254,7 @@ def _viterbi_bwd_kernel(ty_ref, ind0_ref, moves_ref, path_ref, ind_ref,
                 + _shift_left(ind * D1, 1) + _shift_left(ind * D2, 2)
                 + _shift_left(ind * D3, 3) + _shift_left(ind * D4, 4))
 
-    if pair and chunk % 2 == 0:
+    if pair:  # call sites guarantee chunk % 2 == 0 when pair is set
         ind_ref[:] = jax.lax.fori_loop(0, chunk // 2, pair_body,
                                        ind_ref[:], unroll=True)
     else:

@@ -98,7 +98,7 @@ class BatchAligner:
             path_np = np.asarray(path_tm)      # [T_mel, B, T_text]
             durs_np = np.asarray(durs)
             for i, lat in enumerate(group):
-                tx, ty = np.asarray(lat).shape
+                tx, ty = np.shape(lat)
                 out.append((path_np[:ty, i, :tx].T.copy(),
                             durs_np[i, :tx].copy()))
         return out
@@ -110,6 +110,6 @@ class BatchAligner:
         for group, (vt, t_x, t_y) in self._slices(lattices):
             durs_np = np.asarray(self._durations(vt, t_x, t_y))
             for i, lat in enumerate(group):
-                tx = np.asarray(lat).shape[0]
+                tx = np.shape(lat)[0]
                 out.append(durs_np[i, :tx].copy())
         return out

@@ -21,7 +21,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
-# (B, T_x, T_y, expected route) — routes per mas_pallas dispatch rules.
+# (B, T_x, T_y, expected route) — routes per mas_pallas dispatch rules:
+# natural_ok requires (not interpret) and T_y (8-padded) 128-aligned or
+# <= 128; fused requires the bit lattice <= FUSED_BITS_BUDGET; quad
+# requires B*T_x <= QUAD_MAX_ELEMS (4096).
 SHAPES = [
     (1, 64, 256, "fused-nat quad"),
     (1, 128, 1024, "fused-nat quad"),
@@ -29,11 +32,13 @@ SHAPES = [
     (8, 128, 1024, "fused-nat quad"),
     (16, 128, 1024, "fused-nat quad"),
     (32, 128, 1024, "fused-nat quad (headline)"),
-    (3, 40, 200, "tm fused (T_y not 128-aligned)"),
-    (5, 8, 21, "tm fused, odd T_y padding"),
+    (3, 40, 200, "tm fused quad (T_y not 128-aligned)"),
+    (5, 8, 201, "tm fused quad, odd T_y padding"),
+    (5, 8, 21, "fused-nat quad, whole-axis chunk, odd T_y"),
     (4, 1, 64, "T_x == 1"),
     (4, 256, 96, "multi-lane-tile T_x"),
-    (33, 128, 1024, "tm fused pair (odd B, > quad gate)"),
+    (33, 128, 1024, "fused-nat pair (odd B, > quad gate)"),
+    (33, 128, 200, "tm fused pair (> quad gate, unaligned T_y)"),
     (64, 128, 1024, "natural two-kernel forward"),
     (64, 128, 2048, "natural two-kernel forward (config 5)"),
     (72, 128, 1024, "tm two-kernel (> NAT_FWD gate)"),
@@ -60,8 +65,9 @@ def main():
                 .astype(np.int32)
             tx, ty = jnp.asarray(tx_np), jnp.asarray(ty_np)
             got = np.asarray(mas_pallas(v, tx, ty)).astype(np.int32)
+            v_np = np.asarray(v)
             want = np.stack([
-                mas_single(np.asarray(v)[i].copy(), int(tx[i]), int(ty[i]))
+                mas_single(v_np[i].copy(), int(tx_np[i]), int(ty_np[i]))
                 for i in range(B)])
             ok = np.array_equal(got, want)
             failures += not ok
