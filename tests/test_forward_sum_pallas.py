@@ -21,20 +21,26 @@ def make(seed, B=4, T_x=16, T_y=32):
             jnp.asarray(t_y, jnp.int32))
 
 
+@pytest.mark.parametrize("pair", [None, False])
 @pytest.mark.parametrize("seed", range(3))
-def test_alpha_matches_lax(seed):
+def test_alpha_matches_lax(seed, pair):
+    """pair=None auto-enables the two-frame composed sweep at these
+    latency-regime shapes; pair=False keeps the per-frame body
+    covered."""
     logp, t_x, t_y = make(seed)
     lp_tm = jnp.moveaxis(_masked_logp(logp, t_x), 0, 1)
     want = _alpha_scan(lp_tm, t_y)
-    got, final = forward_sum_alpha_pallas(lp_tm, t_y, interpret=True)
+    got, final = forward_sum_alpha_pallas(lp_tm, t_y, interpret=True,
+                                          pair=pair)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(final), np.asarray(want)[-1],
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("pair", [None, False])
 @pytest.mark.parametrize("seed", range(3))
-def test_gamma_matches_lax(seed):
+def test_gamma_matches_lax(seed, pair):
     logp, t_x, t_y = make(seed)
     lp_tm = jnp.moveaxis(_masked_logp(logp, t_x), 0, 1)
     alphas = _alpha_scan(lp_tm, t_y)
@@ -48,7 +54,7 @@ def test_gamma_matches_lax(seed):
                 & (xs[None, None, :] < np.asarray(t_x)[None, :, None]))
     gamma_lax = np.where(in_range, gamma_lax, 0.0)
     got = forward_sum_grad_pallas(lp_tm, alphas, total, t_x, t_y,
-                                  interpret=True)
+                                  interpret=True, pair=pair)
     np.testing.assert_allclose(np.asarray(got), gamma_lax, rtol=1e-4,
                                atol=1e-5)
 
