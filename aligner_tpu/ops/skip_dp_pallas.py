@@ -326,7 +326,70 @@ def mas_skip_pallas(value, t_x, t_y, *, interpret: bool | None = None,
     return jnp.transpose(path[:T_y0], (1, 2, 0)).astype(jnp.float32)
 
 
-def _alpha_skip_kernel(ty_ref, lp_ref, alpha_ref, carry_ref):
+def _alpha_skip_pair_step(prev, c1, c2, y1, ty, s):
+    """Two composed skip-lattice forward-sum frames: the nested
+    three-arm logaddexp tree over two frames expands to one flat,
+    max-stabilised 9-term logsumexp — the same nine (m1, m2) move-pair
+    candidates (and destination masks) as the Viterbi pair, LSE-combined
+    — so two frames cost one cross-lane shift latency and one exp/log
+    round. Tolerance contract, not bit; init/freeze selected against
+    the (shift-reusing) single-step results. Returns (alpha1, alpha2)."""
+    shr = _shift_right
+    y2 = y1 + 1
+    m1_s = s >= 1
+    m2_s = (s % 2 == 1) & (s >= 3)
+    m1_s1 = s >= 2
+    m2_s1 = (s % 2 == 0) & (s >= 4)
+    m1_s2 = s >= 3
+    m2_s2 = (s % 2 == 1) & (s >= 5)
+    r1, r2 = shr(prev, 1), shr(prev, 2)
+    r3, r4 = shr(prev, 3), shr(prev, 4)
+    c1s1, c1s2 = shr(c1, 1), shr(c1, 2)
+    first = jnp.where(s < 2, 0.0, NEG)
+
+    def sel(mask, r):
+        return jnp.where(mask, r, NEG)
+
+    # Outer-arm masks (m1_s / m2_s on the alpha1-shift arms) replace the
+    # WHOLE arm with a raw NEG sentinel — exactly as the sequential
+    # nesting does — while inner masks sit inside the +c1-shift sum.
+    # The surplus masked terms use 2*NEG so a dead cell contributes one
+    # e^{NEG} like the sequential form (the rest underflow to zero).
+    T = [prev + c1,
+         sel(m1_s, r1) + c1,
+         sel(m2_s, r2) + c1,
+         jnp.where(m1_s, r1 + c1s1, NEG),
+         jnp.where(m1_s, sel(m1_s1, r2) + c1s1, 2.0 * NEG),
+         jnp.where(m1_s, sel(m2_s1, r3) + c1s1, 2.0 * NEG),
+         jnp.where(m2_s, r2 + c1s2, NEG),
+         jnp.where(m2_s, sel(m1_s2, r3) + c1s2, 2.0 * NEG),
+         jnp.where(m2_s, sel(m2_s2, r4) + c1s2, 2.0 * NEG)]
+    mx = T[0]
+    for t in T[1:]:
+        mx = jnp.maximum(mx, t)
+    ssum = jnp.exp(T[0] - mx)
+    for t in T[1:]:
+        ssum = ssum + jnp.exp(t - mx)
+    a2_active = c2 + (mx + jnp.log(ssum))
+
+    p1 = sel(m1_s, r1)
+    p2 = sel(m2_s, r2)
+    a1_active = c1 + jnp.logaddexp(jnp.logaddexp(prev, p1), p2)
+    init1 = c1 + first
+    a1 = jnp.where(y1 == 0, init1,
+                   jnp.where(y1 < ty, a1_active, prev))
+    a2_init = c2 + jnp.logaddexp(
+        jnp.logaddexp(init1, sel(m1_s, shr(init1, 1))),
+        sel(m2_s, shr(init1, 2)))
+    a2 = jnp.where(y2 < ty,
+                   jnp.where(y1 == 0, a2_init,
+                             jnp.where(y1 < ty, a2_active, prev)),
+                   a1)
+    return a1, a2
+
+
+def _alpha_skip_kernel(ty_ref, lp_ref, alpha_ref, carry_ref,
+                       *, pair: bool = False):
     chunk = lp_ref.shape[0]
     B, T_s = carry_ref.shape
     i = pl.program_id(0)
@@ -350,8 +413,20 @@ def _alpha_skip_kernel(ty_ref, lp_ref, alpha_ref, carry_ref):
         alpha_ref[j] = alpha
         return alpha
 
-    carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:],
-                                     unroll=True)
+    def pair_body(jj, prev):
+        j = 2 * jj
+        a1, a2 = _alpha_skip_pair_step(prev, lp_ref[j], lp_ref[j + 1],
+                                       i * chunk + j, ty, s)
+        alpha_ref[j] = a1
+        alpha_ref[j + 1] = a2
+        return a2
+
+    if pair:  # call site guarantees chunk % 2 == 0 when pair is set
+        carry_ref[:] = jax.lax.fori_loop(0, chunk // 2, pair_body,
+                                         carry_ref[:], unroll=True)
+    else:
+        carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:],
+                                         unroll=True)
 
 
 def _gamma_skip_kernel(ts_ref, ty_ref, total_ref, lp_ref, alpha_ref,
@@ -401,18 +476,24 @@ def _gamma_skip_kernel(ts_ref, ty_ref, total_ref, lp_ref, alpha_ref,
                                      unroll=True)
 
 
-def forward_sum_skip_alpha_pallas(lp_tm, t_y, *, interpret: bool = False):
+def forward_sum_skip_alpha_pallas(lp_tm, t_y, *, interpret: bool = False,
+                                  pair: bool | None = None):
     """lp_tm: [T_y, B, T_s] pre-masked log-probs. Returns alphas
-    [T_y, B, T_s] (frame t_y-1's column persists to the last row)."""
+    [T_y, B, T_s] (frame t_y-1's column persists to the last row).
+    pair: None enables the two-frame composed sweep in the latency
+    regime (B*T_s <= SKIP_PAIR_MAX_ELEMS); True/False force."""
     lp_tm, T_y0 = _pad_frames(lp_tm)
     T_y, B, T_s = lp_tm.shape
     chunk = _pick_chunk(T_y, B, T_s)
+    if pair is None:
+        pair = B * T_s <= SKIP_PAIR_MAX_ELEMS
     grid = T_y // chunk
     ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None], (B, T_s))
     len_spec = pl.BlockSpec((B, T_s), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     alphas = pl.pallas_call(
-        _alpha_skip_kernel,
+        functools.partial(_alpha_skip_kernel,
+                          pair=pair and chunk % 2 == 0),
         grid=(grid,),
         in_specs=[len_spec,
                   pl.BlockSpec((chunk, B, T_s), lambda i: (i, 0, 0),

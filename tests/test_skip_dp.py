@@ -234,8 +234,9 @@ def test_mas_skip_pallas_ties_and_invalid():
     assert (got[2] == 0).all()
 
 
+@pytest.mark.parametrize("pair", [None, False])
 @pytest.mark.parametrize("seed", range(2))
-def test_forward_sum_skip_pallas_matches_lax(seed):
+def test_forward_sum_skip_pallas_matches_lax(seed, pair):
     from aligner_tpu.ops.skip_dp import (_alpha_scan_skip, _beta_scan_skip,
                                          _masked_logp_skip, n_states,
                                          _total_from_alphas_skip)
@@ -252,7 +253,8 @@ def test_forward_sum_skip_pallas_matches_lax(seed):
     lpm = _masked_logp_skip(jnp.asarray(lp), t_x)
     lp_tm = jnp.moveaxis(lpm, 0, 1)
     a_lax = _alpha_scan_skip(lp_tm, t_y)
-    a_pl = forward_sum_skip_alpha_pallas(lp_tm, t_y, interpret=True)
+    a_pl = forward_sum_skip_alpha_pallas(lp_tm, t_y, interpret=True,
+                                         pair=pair)
     np.testing.assert_allclose(np.asarray(a_pl), np.asarray(a_lax),
                                rtol=1e-5, atol=1e-5)
     total = _total_from_alphas_skip(a_lax, t_x)
