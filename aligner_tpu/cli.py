@@ -23,6 +23,28 @@ def _common(p):
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
+    # hard-corpus knobs (see data.SyntheticConfig): coarticulated
+    # boundaries, confusable prototype families, speaker gain/offset
+    p.add_argument("--hard", action="store_true",
+                   help="hard-corpus preset (coarticulation 0.3, "
+                        "proto-overlap 0.5, gain-var 0.3)")
+    p.add_argument("--coarticulation", type=float, default=None)
+    p.add_argument("--proto-overlap", type=float, default=None)
+    p.add_argument("--gain-var", type=float, default=None)
+    p.add_argument("--max-tokens", type=int, default=None,
+                   help="override the demo's max tokens per utterance "
+                        "(longer utterances)")
+
+
+def _synth_kwargs(args):
+    kw = {}
+    if getattr(args, "hard", False):
+        kw.update(coarticulation=0.3, proto_overlap=0.5, gain_var=0.3)
+    for name in ("coarticulation", "proto_overlap", "gain_var"):
+        v = getattr(args, name, None)
+        if v is not None:
+            kw[name] = v
+    return kw
 
 
 def build_parser():
@@ -51,6 +73,9 @@ def build_parser():
     p.add_argument("--pause-prob", type=float, default=0.4)
     p.add_argument("--skip-blind", action="store_true",
                    help="train only the pause-aware model")
+    p.add_argument("--pause-prior", choices=("bridge", "inherit"),
+                   default="bridge",
+                   help="pause-state prior shape (see OTAConfig)")
     p = sub.add_parser("bench-mas", help="single-chip MAS micro-benchmark")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--t-text", type=int, default=128)
@@ -80,6 +105,9 @@ def build_parser():
                    help="continue from the latest checkpoint in "
                         "--checkpoint-dir (same model/optimizer flags "
                         "required)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="init PRNG + batch-shuffle seed (recorded in "
+                        "config.json)")
 
     p = sub.add_parser("align", help="emit durations for a wav corpus "
                                      "using a trained checkpoint")
@@ -101,8 +129,9 @@ def build_parser():
 
 def _corpus_batches(args, max_tokens=24, max_dur=7):
     from .data import SyntheticConfig, bucket_batches, make_corpus
-    cfg = SyntheticConfig(seed=args.seed, max_tokens=max_tokens,
-                          max_duration=max_dur)
+    cfg = SyntheticConfig(seed=args.seed,
+                          max_tokens=args.max_tokens or max_tokens,
+                          max_duration=max_dur, **_synth_kwargs(args))
     corpus = make_corpus(args.utterances, cfg)
     batches = list(bucket_batches(corpus, args.batch_size,
                                   shuffle_seed=args.seed))
@@ -123,7 +152,8 @@ def cmd_demo_ota(args):
     state, _ = train_aligner(model, batches, steps=args.steps,
                              learning_rate=args.lr, bin_start=args.steps // 6,
                              bin_ramp=args.steps // 3,
-                             checkpoint_dir=args.checkpoint_dir)
+                             checkpoint_dir=args.checkpoint_dir,
+                             seed=args.seed)
     # evaluate duration accuracy on the first batch's items
     b = {k: jnp.asarray(v) for k, v in batches[0].items()}
     out = model.apply({"params": state.params}, b["tokens"], b["mel"],
@@ -161,8 +191,10 @@ def cmd_demo_pauses(args):
     from .train.loop import train_aligner
     from .utils.eval import pause_detection, token_boundary_f1
 
-    cfg = SyntheticConfig(seed=args.seed, max_tokens=16, max_duration=7,
-                          pause_prob=args.pause_prob)
+    cfg = SyntheticConfig(seed=args.seed,
+                          max_tokens=args.max_tokens or 16,
+                          max_duration=7, pause_prob=args.pause_prob,
+                          **_synth_kwargs(args))
     corpus = make_corpus(args.utterances, cfg)
     batches = list(bucket_batches(corpus, args.batch_size,
                                   shuffle_seed=args.seed))
@@ -175,11 +207,12 @@ def cmd_demo_pauses(args):
         model = OTAAligner(OTAConfig(
             vocab_size=cfg.vocab_size, n_mels=cfg.n_mels, dim=96,
             hidden=128, temperature=args.temperature,
-            model_pauses=model_pauses, use_recon=True))
+            model_pauses=model_pauses, use_recon=True,
+            pause_prior=args.pause_prior))
         state, _ = train_aligner(
             model, batches, steps=args.steps, learning_rate=args.lr,
             bin_start=args.steps // 6, bin_ramp=args.steps // 3,
-            log_fn=lambda s: None)
+            log_fn=lambda s: None, seed=args.seed)
         f1s, pauses = [], []
         for b in batches[:2]:
             bj = {k: jnp.asarray(v) for k, v in b.items()}
@@ -242,8 +275,10 @@ def cmd_demo_mobo(args):
     if args.max_duration < 3:
         raise SystemExit("--max-duration must be >= 3 (the synthetic "
                          "corpus draws durations in [2, max_duration-1])")
-    cfg = SyntheticConfig(seed=args.seed, max_tokens=16,
-                          max_duration=min(7, args.max_duration - 1))
+    cfg = SyntheticConfig(seed=args.seed,
+                          max_tokens=args.max_tokens or 16,
+                          max_duration=min(7, args.max_duration - 1),
+                          **_synth_kwargs(args))
     corpus = make_corpus(args.batch_size, cfg)
     batch = pad_batch(corpus)
     b = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -252,8 +287,9 @@ def cmd_demo_mobo(args):
     model = MoBoAligner(MoBoConfig(vocab_size=cfg.vocab_size, dim=64,
                                    hidden=96,
                                    max_duration=args.max_duration))
-    params = model.init(jax.random.PRNGKey(0), b["tokens"], b["mel"],
-                        b["text_lengths"], b["mel_lengths"])["params"]
+    params = model.init(jax.random.PRNGKey(args.seed), b["tokens"],
+                        b["mel"], b["text_lengths"],
+                        b["mel_lengths"])["params"]
     tx = optax.adam(args.lr * 3)
     opt = tx.init(params)
     T_y = b["mel"].shape[1]
@@ -393,7 +429,8 @@ def cmd_train(args):
     if not items:
         raise SystemExit(f"no usable utterances under {args.corpus}")
     print(f"loaded {len(items)} utterances")
-    batches = list(bucket_batches(items, args.batch_size, shuffle_seed=0))
+    batches = list(bucket_batches(items, args.batch_size,
+                                  shuffle_seed=args.seed))
     eval_batches = None
     if args.eval_split > 0 and len(batches) > 1:
         n_eval = max(1, int(round(args.eval_split * len(batches))))
@@ -409,7 +446,7 @@ def cmd_train(args):
                   lr_schedule=args.lr_schedule,
                   grad_clip_norm=args.grad_clip,
                   eval_batches=eval_batches,
-                  resume=args.resume)
+                  resume=args.resume, seed=args.seed)
     print(f"checkpoints in {args.checkpoint_dir}")
 
 

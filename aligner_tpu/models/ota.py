@@ -38,7 +38,12 @@ class OTAConfig:
     n_mels: int = 80
     dim: int = 192
     hidden: int = 256
-    temperature: float = 0.0005   # OTA's softmax temperature on -L2²
+    # Softmax temperature on the -L2² energies. 0.1 is the measured
+    # recipe (docs/PERF.md quality table: every >= 0.9 boundary-F1 run
+    # uses 0.1-0.15; the OTA paper's 0.0005 — round-2's default — fails
+    # to binarise sharply at realistic step counts on our corpus scale
+    # because |q - k|² here is O(dim), not O(1)).
+    temperature: float = 0.1
     prior_omega: float = 1.0
     use_prior: bool = True
     mas_implementation: str = "auto"
@@ -57,6 +62,11 @@ class OTAConfig:
     # attention/losses then run over 2*T_x+1 expanded states, and the
     # outputs gain `pause_durations` [B, T_x+1].
     model_pauses: bool = False
+    # Prior shape for pause states: "bridge" spans both neighbouring
+    # tokens' beta-binomial peaks (logaddexp average), "inherit" copies
+    # the following token's row (round-2 behaviour). See
+    # ops.skip_dp.expand_prior_to_states.
+    pause_prior: str = "bridge"
     # Mixed precision: "bfloat16" runs the encoders and the pairwise
     # energy matmul at MXU bf16 rate (params stay float32, flax
     # convention); the log-softmax, prior, forward-sum and MAS lattices
@@ -149,7 +159,8 @@ class OTAAligner(nn.Module):
                 text_lengths, mel_lengths, T_x, T_y, cfg.prior_omega)
             if cfg.model_pauses:
                 from ..ops.skip_dp import expand_prior_to_states
-                prior = expand_prior_to_states(prior, text_lengths)
+                prior = expand_prior_to_states(prior, text_lengths,
+                                               mode=cfg.pause_prior)
             logp = logp + prior
 
         if cfg.model_pauses:

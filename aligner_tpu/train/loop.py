@@ -4,7 +4,6 @@ The reference has no training loop (SURVEY.md §5); this is the K8
 integration layer driven by the demo CLI."""
 from __future__ import annotations
 
-import itertools
 import time
 from collections.abc import Iterable
 
@@ -30,7 +29,8 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
                   grad_clip_norm: float | None = None,
                   eval_batches: Iterable[dict] | None = None,
                   eval_every: int | None = None,
-                  resume: bool = False, prefetch: int = 2):
+                  resume: bool = False, prefetch: int = 2,
+                  seed: int = 0, shuffle: bool = True):
     """Train on an iterable of padded batch dicts (cycled). Returns the
     final TrainState and a list of metric records. When checkpointing,
     the model config (and any `config_extra`, e.g. tokenizer info) is
@@ -45,6 +45,10 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
     continues until `steps` total optimizer steps; the run must use the
     same model/optimizer settings as the original (the opt-state pytree
     must match).
+
+    seed: seeds both the init PRNGKey and the per-epoch batch shuffle,
+    and is recorded in config.json (`train_seed`) so runs are
+    reproducible. shuffle=False restores the fixed cycle order.
     """
     batches = list(batches)
     if lr_schedule == "constant" and warmup_steps <= 0:
@@ -61,7 +65,7 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
                                     schedule=lr_schedule)
         lr_arg = schedule
     first = {k: jnp.asarray(v) for k, v in batches[0].items()}
-    state = create_train_state(jax.random.PRNGKey(0), model, first,
+    state = create_train_state(jax.random.PRNGKey(seed), model, first,
                                learning_rate=lr_arg, mesh=mesh,
                                grad_clip_norm=grad_clip_norm)
     start_step = 0
@@ -74,7 +78,10 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
     # resume must fail before this run's config can overwrite the
     # checkpoint directory's metadata.
     if checkpoint_dir is not None and hasattr(model, "config"):
-        save_run_config(checkpoint_dir, model.config, config_extra)
+        extra = dict(config_extra or {})
+        extra.setdefault("train_seed", seed)
+        extra.setdefault("shuffle", shuffle)
+        save_run_config(checkpoint_dir, model.config, extra)
     step_fn = make_train_step(model, mesh=mesh, bin_start=bin_start,
                               bin_ramp=bin_ramp, donate=False)
     eval_batches = list(eval_batches) if eval_batches else None
@@ -89,7 +96,17 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
     # One transfer pipeline over an endless batch cycle: the next
     # `prefetch` batches' device transfers are issued while the current
     # step runs, and the pipeline stays full across epoch boundaries.
-    stream = prefetch_to_device(itertools.cycle(batches),
+    # The epoch order is reshuffled from `seed` so runs are reproducible
+    # yet not locked to the list order (round-2 verdict item 5).
+    def batch_stream():
+        rng = np.random.default_rng(seed)
+        while True:
+            order = (rng.permutation(len(batches)) if shuffle and
+                     len(batches) > 1 else range(len(batches)))
+            for j in order:
+                yield batches[j]
+
+    stream = prefetch_to_device(batch_stream(),
                                 max(prefetch, 1), sharding=data_sharding)
     i = start_step
     for batch in stream:
@@ -99,8 +116,10 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
         i += 1
         if i % log_every == 0 or i == steps:
             rec = {k: float(v) for k, v in metrics.items()}
+            # optax's count increments after the update, so the update
+            # recorded at step i was applied with schedule(i-1).
             rec.update(step=i, wall_s=round(time.time() - t0, 1),
-                       lr=(float(schedule(i)) if schedule is not None
+                       lr=(float(schedule(i - 1)) if schedule is not None
                            else learning_rate))
             history.append(rec)
             detail = "  ".join(

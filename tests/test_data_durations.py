@@ -40,6 +40,41 @@ def test_corpus_ground_truth_consistent():
         {"exact": 1.0, "mae": 0.0}
 
 
+def test_hard_corpus_knobs():
+    """Coarticulation / prototype overlap / speaker gain change the mels
+    (harder regime) but never the ground-truth durations, and knobs at 0
+    reproduce the legacy corpus exactly."""
+    from aligner_tpu.data import prototypes
+
+    base = SyntheticConfig(seed=2, pause_prob=0.3)
+    hard = SyntheticConfig(seed=2, pause_prob=0.3, coarticulation=0.3,
+                           proto_overlap=0.5, gain_var=0.3)
+    c0, c1 = make_corpus(6, base), make_corpus(6, hard)
+    for a, b in zip(c0, c1):
+        np.testing.assert_array_equal(a["tokens"], b["tokens"])
+        np.testing.assert_array_equal(a["durations"], b["durations"])
+        np.testing.assert_array_equal(a["pause_durations"],
+                                      b["pause_durations"])
+        assert a["mel"].shape == b["mel"].shape
+        assert not np.allclose(a["mel"], b["mel"])
+    # overlap makes within-group prototypes correlated
+    p0, p1 = prototypes(base), prototypes(hard)
+    n_groups = base.vocab_size // 4
+
+    def mean_group_cos(p):
+        cs = []
+        for i in range(n_groups, 2 * n_groups):
+            a, b = p[i - n_groups], p[i]  # same group (i % n_groups)
+            cs.append(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return float(np.mean(cs))
+
+    assert mean_group_cos(p1) > mean_group_cos(p0) + 0.2
+    # legacy reproduction at zero knobs
+    again = make_corpus(6, SyntheticConfig(seed=2, pause_prob=0.3))
+    for a, b in zip(c0, again):
+        np.testing.assert_array_equal(a["mel"], b["mel"])
+
+
 def test_path_duration_roundtrip():
     durs = jnp.asarray(np.array([[2, 3, 1], [4, 0, 0]], np.int32))
     path = path_from_durations(durs, max_mel=8)

@@ -284,6 +284,32 @@ def test_train_loop_resume(tmp_path):
     assert any(diff)
 
 
+def test_train_loop_seed_determinism(tmp_path):
+    """Same seed → bit-identical history (init + shuffle are both seeded);
+    a different seed changes the init and hence the loss. The seed is
+    recorded in config.json (round-2 verdict item 5)."""
+    import json
+
+    from aligner_tpu.train.loop import train_aligner
+
+    model = OTAAligner(OTAConfig(vocab_size=50, dim=32, hidden=48,
+                                 mas_implementation="lax"))
+    bs = [{k: np.asarray(v) for k, v in make_batch(seed=s).items()}
+          for s in (1, 2, 3)]
+    kw = dict(steps=3, learning_rate=1e-3, log_every=1,
+              log_fn=lambda s: None)
+    _, h1 = train_aligner(model, bs, seed=7, **kw)
+    _, h2 = train_aligner(model, bs, seed=7, **kw)
+    assert [r["loss"] for r in h1] == [r["loss"] for r in h2]
+    _, h3 = train_aligner(model, bs, seed=8, **kw)
+    assert [r["loss"] for r in h1] != [r["loss"] for r in h3]
+
+    ckpt = str(tmp_path / "ckpt")
+    train_aligner(model, bs, seed=7, checkpoint_dir=ckpt, **kw)
+    cfg = json.load(open(tmp_path / "ckpt" / "config.json"))
+    assert cfg["train_seed"] == 7
+
+
 def test_resume_mismatch_preserves_config(tmp_path):
     """A mismatched resume must fail BEFORE this run's config can
     overwrite the checkpoint directory's config.json."""

@@ -29,6 +29,25 @@ def test_expand_prior_to_states():
     np.testing.assert_array_equal(exp[0, 1], [3, 3, 4, 4, 4, 4, 4])
 
 
+def test_expand_prior_to_states_bridge():
+    """bridge mode: token states keep their own prior; pause 2j is the
+    logaddexp average of tokens j-1 and j (edges reduce to inherit)."""
+    B, T_y, T_x = 1, 1, 3
+    prior = jnp.asarray(
+        np.log(np.array([[[0.2, 0.5, 0.3]]], np.float32)))
+    tl = jnp.array([3], jnp.int32)
+    exp = np.exp(np.asarray(
+        expand_prior_to_states(prior, tl, mode="bridge")))[0, 0]
+    # states: P0 t0 P1 t1 P2 t2 P3
+    np.testing.assert_allclose(
+        exp, [0.2, 0.2, 0.35, 0.5, 0.4, 0.3, 0.3], rtol=1e-6)
+    # inherit stays the round-2 behaviour
+    inh = np.exp(np.asarray(
+        expand_prior_to_states(prior, tl, mode="inherit")))[0, 0]
+    np.testing.assert_allclose(
+        inh, [0.2, 0.2, 0.5, 0.5, 0.3, 0.3, 0.3], rtol=1e-6)
+
+
 def test_split_state_durations():
     sd = jnp.asarray(np.array([[1, 2, 3, 4, 5, 6, 7]], np.float32))
     tok, pause = split_state_durations(sd)
