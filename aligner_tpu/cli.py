@@ -76,6 +76,9 @@ def build_parser():
     p.add_argument("--pause-prior", choices=("bridge", "inherit"),
                    default="bridge",
                    help="pause-state prior shape (see OTAConfig)")
+    p.add_argument("--pause-bias", type=float, default=0.0,
+                   help="per-frame pause occupancy cost (log-odds; "
+                        "negative discourages pauses)")
     p = sub.add_parser("bench-mas", help="single-chip MAS micro-benchmark")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--t-text", type=int, default=128)
@@ -208,7 +211,7 @@ def cmd_demo_pauses(args):
             vocab_size=cfg.vocab_size, n_mels=cfg.n_mels, dim=96,
             hidden=128, temperature=args.temperature,
             model_pauses=model_pauses, use_recon=True,
-            pause_prior=args.pause_prior))
+            pause_prior=args.pause_prior, pause_bias=args.pause_bias))
         state, _ = train_aligner(
             model, batches, steps=args.steps, learning_rate=args.lr,
             bin_start=args.steps // 6, bin_ramp=args.steps // 3,

@@ -67,6 +67,10 @@ class OTAConfig:
     # the following token's row (round-2 behaviour). See
     # ops.skip_dp.expand_prior_to_states.
     pause_prior: str = "bridge"
+    # Constant log-odds added to the pause class's energy before the
+    # label softmax: a per-frame occupancy cost (negative discourages
+    # pauses from absorbing token frames; 0 = neutral).
+    pause_bias: float = 0.0
     # Mixed precision: "bfloat16" runs the encoders and the pairwise
     # energy matmul at MXU bf16 rate (params stay float32, flax
     # convention); the log-softmax, prior, forward-sum and MAS lattices
@@ -131,6 +135,8 @@ class OTAAligner(nn.Module):
 
         # Mask padded text tokens before the softmax over text.
         energies = jnp.where(text_mask[:, None, :] > 0, energies, -1e9)
+        if cfg.model_pauses and cfg.pause_bias:
+            energies = energies.at[:, :, T_x].add(cfg.pause_bias)
         # Softmax over LABELS (tokens [+ pause class]), the CTC
         # normalisation: the single pause class competes once per frame
         # regardless of how many lattice states replicate it. A softmax

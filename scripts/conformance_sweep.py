@@ -41,8 +41,9 @@ SHAPES = [
     (33, 128, 200, "tm fused pair (> quad gate, unaligned T_y)"),
     (64, 128, 1024, "natural two-kernel forward"),
     (64, 128, 2048, "natural two-kernel forward (config 5)"),
-    (72, 128, 1024, "tm two-kernel (> NAT_FWD gate)"),
-    (256, 128, 1024, "tm two-kernel (serving)"),
+    (72, 128, 1024, "natural batch-tiled two-kernel (bb=24)"),
+    (256, 128, 1024, "natural batch-tiled two-kernel (serving, bb=64)"),
+    (250, 128, 1024, "tm two-kernel (no 8-multiple batch tile)"),
 ]
 
 

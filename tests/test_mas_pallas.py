@@ -249,6 +249,56 @@ def test_natural_two_kernel_forward():
     np.testing.assert_array_equal(got, oracle(value, t_xs, t_ys))
 
 
+def test_natural_forward_batch_tiled():
+    """The batch-tiled natural forward (grid axis over B-blocks with a
+    per-block carry) must equal the single-block sweep — this is the
+    serving route for B beyond NAT_FWD_MAX_ELEMS // T_x."""
+    from aligner_tpu.ops.mas_pallas import (mas_pallas_backtrack,
+                                            mas_pallas_bits_nat)
+
+    rng = np.random.default_rng(62)
+    B, T_x, T_y = 6, 8, 40
+    value = (rng.standard_normal((B, T_x, T_y)) * 3).astype(np.float32)
+    t_xs = rng.integers(1, T_x + 1, B)
+    t_ys = np.maximum(t_xs, rng.integers(T_y // 2, T_y + 1, B))
+    for bb in (2, 3):
+        bits = mas_pallas_bits_nat(jnp.asarray(value), interpret=True,
+                                   _chunk=8, batch_block=bb)
+        path_t = mas_pallas_backtrack(bits, jnp.asarray(t_xs, jnp.int32),
+                                      jnp.asarray(t_ys, jnp.int32),
+                                      interpret=True)
+        got = np.asarray(jnp.transpose(path_t[:T_y], (1, 2, 0))) \
+            .astype(np.int32)
+        np.testing.assert_array_equal(got, oracle(value, t_xs, t_ys))
+
+
+def test_natural_output_backtrack():
+    """mas_pallas_backtrack_nat emits the path in the reference's
+    [B, T_x, T_y] layout directly (no XLA transpose); must equal the
+    time-major backtrack + transpose bit-for-bit."""
+    from aligner_tpu.ops.mas_pallas import (mas_pallas_backtrack,
+                                            mas_pallas_backtrack_nat,
+                                            mas_pallas_bits_nat)
+
+    rng = np.random.default_rng(63)
+    B, T_x, T_y = 4, 8, 40
+    value = (rng.standard_normal((B, T_x, T_y)) * 3).astype(np.float32)
+    t_xs = jnp.asarray(rng.integers(1, T_x + 1, B), jnp.int32)
+    t_ys = jnp.asarray(np.maximum(np.asarray(t_xs),
+                                  rng.integers(T_y // 2, T_y + 1, B)),
+                       jnp.int32)
+    bits = mas_pallas_bits_nat(jnp.asarray(value), interpret=True,
+                               _chunk=8)
+    want = np.asarray(jnp.transpose(
+        mas_pallas_backtrack(bits, t_xs, t_ys, interpret=True)[:T_y],
+        (1, 2, 0))).astype(np.int32)
+    for bb in (2, 4):
+        got = np.asarray(mas_pallas_backtrack_nat(
+            bits, t_xs, t_ys, interpret=True, batch_block=bb,
+            _chunk=8))[:, :, :T_y].astype(np.int32)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_fused_budget_error():
     from aligner_tpu.ops.mas_pallas import FUSED_BITS_BUDGET, mas_pallas_tm
     T_y = 8 * ((FUSED_BITS_BUDGET // (2 * 128)) // 8 + 8)
