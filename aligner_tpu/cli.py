@@ -23,6 +23,10 @@ def _common(p):
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init-seed", type=int, default=None,
+                   help="training init/shuffle seed (default: --seed); "
+                        "decouples optimisation variance from the "
+                        "corpus draw")
     # hard-corpus knobs (see data.SyntheticConfig): coarticulated
     # boundaries, confusable prototype families, speaker gain/offset
     p.add_argument("--hard", action="store_true",
@@ -34,6 +38,10 @@ def _common(p):
     p.add_argument("--max-tokens", type=int, default=None,
                    help="override the demo's max tokens per utterance "
                         "(longer utterances)")
+
+
+def _init_seed(args):
+    return args.seed if args.init_seed is None else args.init_seed
 
 
 def _synth_kwargs(args):
@@ -156,7 +164,7 @@ def cmd_demo_ota(args):
                              learning_rate=args.lr, bin_start=args.steps // 6,
                              bin_ramp=args.steps // 3,
                              checkpoint_dir=args.checkpoint_dir,
-                             seed=args.seed)
+                             seed=_init_seed(args))
     # evaluate duration accuracy on the first batch's items
     b = {k: jnp.asarray(v) for k, v in batches[0].items()}
     out = model.apply({"params": state.params}, b["tokens"], b["mel"],
@@ -215,7 +223,7 @@ def cmd_demo_pauses(args):
         state, _ = train_aligner(
             model, batches, steps=args.steps, learning_rate=args.lr,
             bin_start=args.steps // 6, bin_ramp=args.steps // 3,
-            log_fn=lambda s: None, seed=args.seed)
+            log_fn=lambda s: None, seed=_init_seed(args))
         f1s, pauses = [], []
         for b in batches[:2]:
             bj = {k: jnp.asarray(v) for k, v in b.items()}
@@ -290,7 +298,7 @@ def cmd_demo_mobo(args):
     model = MoBoAligner(MoBoConfig(vocab_size=cfg.vocab_size, dim=64,
                                    hidden=96,
                                    max_duration=args.max_duration))
-    params = model.init(jax.random.PRNGKey(args.seed), b["tokens"],
+    params = model.init(jax.random.PRNGKey(_init_seed(args)), b["tokens"],
                         b["mel"], b["text_lengths"],
                         b["mel_lengths"])["params"]
     tx = optax.adam(args.lr * 3)

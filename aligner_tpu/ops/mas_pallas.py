@@ -921,24 +921,105 @@ def _backtrack_kernel_nat(tx_ref, ty_ref, bits_ref, path_ref, buf_ref,
         jnp.transpose(buf_ref[:], (1, 0, 2)), (0, 2, 1))
 
 
+def _backtrack_kernel_nat_cmp(tx_ref, ty_ref, bits_ref, path_ref,
+                              ind_ref):
+    """Natural-output backtrack, compare form: the walk packs each
+    frame's one-hot emit row into one lane of a tiny [Bb, chunk] index
+    row (packed as token_index + 1; 0 = no emission — dead frame or
+    invalid item), and the output block is produced by ONE broadcast
+    compare of that row against an iota over T_x. No staging buffer, no
+    in-kernel relayout passes: this trades _backtrack_kernel_nat's two
+    VMEM transposes (the dominant cost of the staged form) for one
+    lane-reduction per frame — off the walk's carry chain, so it
+    overlaps — plus a single elementwise pass over the output block."""
+    chunk = bits_ref.shape[0]
+    Bb, T_x = ind_ref.shape
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+
+    tx = tx_ref[:]
+    ty = ty_ref[:]
+    x = jax.lax.broadcasted_iota(jnp.int32, (Bb, T_x), 1)
+    xp1 = (x + 1).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, chunk), 1)
+
+    @pl.when(i == 0)
+    def _():
+        valid = (tx >= 1) & (tx <= ty)
+        ind_ref[:] = ((x == tx - 1) & valid).astype(jnp.float32)
+
+    base = (n - 1 - i) * chunk
+
+    def pack(emit, j, acc):
+        # [Bb, T_x] one-hot -> packed index in lane j of the acc row.
+        v = jnp.sum(emit * xp1, axis=1, keepdims=True)
+        return acc + v * (lane == j).astype(jnp.float32)
+
+    def single_step(j, carry):
+        ind, acc = carry
+        emit, new = _bt_step(ind, bits_ref[j], base + j, ty, T_x)
+        return new, pack(emit, j, acc)
+
+    def pair_body(jj, carry):
+        ind, acc = carry
+        j_hi = chunk - 1 - (chunk % 2) - 2 * jj
+        j_lo = j_hi - 1
+        p_hi, p_lo, new = _bt_pair(ind, bits_ref[j_hi], bits_ref[j_lo],
+                                   base + j_hi, ty, T_x)
+        return new, pack(p_lo, j_lo, pack(p_hi, j_hi, acc))
+
+    carry = (ind_ref[:], jnp.zeros((Bb, chunk), jnp.float32))
+    if chunk % 2:
+        carry = single_step(chunk - 1, carry)
+    if T_x >= 2:
+        carry = jax.lax.fori_loop(0, chunk // 2, pair_body, carry,
+                                  unroll=True)
+    else:
+        carry = jax.lax.fori_loop(
+            0, chunk // 2,
+            lambda jj, c: single_step(
+                chunk - 1 - (chunk % 2) - 2 * jj - 1,
+                single_step(chunk - 1 - (chunk % 2) - 2 * jj, c)),
+            carry, unroll=True)
+    ind, acc = carry
+    ind_ref[:] = ind
+    x3 = jax.lax.broadcasted_iota(jnp.int32, (Bb, T_x, chunk), 1)
+    path_ref[:] = (x3 + 1 == acc.astype(jnp.int32)[:, None, :]) \
+        .astype(jnp.float32)
+
+
 # Backtrack batch tile: the double-buffered f32 output blocks plus the
 # staging buffer and transpose intermediates run ~6x the bits block
-# (bb=64 was measured to OOM scoped VMEM at 24.3M), so the tile budget
-# is half the forward's.
+# (bb=64 was measured to OOM scoped VMEM at 24.3M), so the staged
+# form's tile budget is half the forward's. The compare form has no
+# staging buffer or transpose intermediates, so it keeps the forward's
+# budget.
 NAT_BT_MAX_ELEMS = 4096
+NAT_BT_CMP_MAX_ELEMS = 8192
+
+
+def nat_bt_budget(form: str = "cmp") -> int:
+    return NAT_BT_CMP_MAX_ELEMS if form == "cmp" else NAT_BT_MAX_ELEMS
 
 
 def mas_pallas_backtrack_nat(bits, t_x, t_y, *, interpret: bool = False,
                              batch_block: int | None = None,
-                             _chunk: int | None = None):
+                             _chunk: int | None = None,
+                             form: str = "cmp"):
     """Reverse walk emitting the path in the reference's natural layout:
     int8 bits [T_yp, B, T_x] + lengths -> f32 path [B, T_x, T_yp].
     Requires T_x % 8 == 0 (Mosaic sublane rule for the output block) and
     a batch tile (see _nat_batch_block); callers fall back to
-    mas_pallas_backtrack + an XLA transpose otherwise."""
+    mas_pallas_backtrack + an XLA transpose otherwise.
+
+    form: "cmp" (default; packed-index walk + one broadcast compare) or
+    "stage" (stage the chunk's path rows and transpose in-kernel; kept
+    for A/B measurement)."""
+    if form not in ("cmp", "stage"):
+        raise ValueError(f"unknown backtrack form {form!r}")
     T_yp, B, T_x = bits.shape
     chunk = _chunk or (128 if T_yp % 128 == 0 else T_yp)
-    bb = batch_block or _nat_batch_block(B, T_x, NAT_BT_MAX_ELEMS)
+    bb = batch_block or _nat_batch_block(B, T_x, nat_bt_budget(form))
     if bb is None or B % bb:
         raise ValueError(f"no usable batch tile for B = {B}")
     tx_b = jnp.broadcast_to(t_x.astype(jnp.int32)[:, None], (B, T_x))
@@ -947,8 +1028,15 @@ def mas_pallas_backtrack_nat(bits, t_x, t_y, *, interpret: bool = False,
                             memory_space=pltpu.VMEM)
     n = T_yp // chunk
     rev = lambda b, i: (n - 1 - i, b, 0)
+    if form == "cmp":
+        kernel = _backtrack_kernel_nat_cmp
+        scratch = [pltpu.VMEM((bb, T_x), jnp.float32)]
+    else:
+        kernel = _backtrack_kernel_nat
+        scratch = [pltpu.VMEM((chunk, bb, T_x), jnp.float32),
+                   pltpu.VMEM((bb, T_x), jnp.float32)]
     return pl.pallas_call(
-        _backtrack_kernel_nat,
+        kernel,
         grid=(B // bb, n),
         in_specs=[
             len_spec, len_spec,
@@ -958,8 +1046,7 @@ def mas_pallas_backtrack_nat(bits, t_x, t_y, *, interpret: bool = False,
                                lambda b, i: (b, 0, n - 1 - i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T_x, T_yp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((chunk, bb, T_x), jnp.float32),
-                        pltpu.VMEM((bb, T_x), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(tx_b, ty_b, bits)
 
@@ -1097,7 +1184,7 @@ def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None,
         bits = mas_pallas_bits_nat(value, interpret=interpret,
                                    max_neg_val=max_neg_val)
         if (not interpret and T_x % 8 == 0
-                and _nat_batch_block(B, T_x, NAT_BT_MAX_ELEMS)):
+                and _nat_batch_block(B, T_x, nat_bt_budget())):
             # natural-output backtrack: no XLA transpose, no layout copy
             path = mas_pallas_backtrack_nat(bits, t_x, t_y,
                                             interpret=interpret)

@@ -287,16 +287,21 @@ def test_natural_output_backtrack():
     t_ys = jnp.asarray(np.maximum(np.asarray(t_xs),
                                   rng.integers(T_y // 2, T_y + 1, B)),
                        jnp.int32)
+    # one invalid item: t_x > t_y must yield an all-zero path row-set
+    t_xs = t_xs.at[1].set(T_x)
+    t_ys = t_ys.at[1].set(2)
     bits = mas_pallas_bits_nat(jnp.asarray(value), interpret=True,
                                _chunk=8)
     want = np.asarray(jnp.transpose(
         mas_pallas_backtrack(bits, t_xs, t_ys, interpret=True)[:T_y],
         (1, 2, 0))).astype(np.int32)
-    for bb in (2, 4):
-        got = np.asarray(mas_pallas_backtrack_nat(
-            bits, t_xs, t_ys, interpret=True, batch_block=bb,
-            _chunk=8))[:, :, :T_y].astype(np.int32)
-        np.testing.assert_array_equal(got, want)
+    assert not want[1].any()
+    for form in ("stage", "cmp"):
+        for bb, chunk in ((2, 8), (4, 8), (4, 5)):  # chunk 5: odd walk
+            got = np.asarray(mas_pallas_backtrack_nat(
+                bits, t_xs, t_ys, interpret=True, batch_block=bb,
+                _chunk=chunk, form=form))[:, :, :T_y].astype(np.int32)
+            np.testing.assert_array_equal(got, want)
 
 
 def test_fused_budget_error():
