@@ -77,7 +77,11 @@ def build_parser():
              "train the pause-aware OTA aligner vs the pause-blind one "
              "and compare boundary/pause metrics")
     _common(p)
-    p.add_argument("--temperature", type=float, default=0.1)
+    # 0.15 + bridge prior + the -3 -> 0 pause-bias curriculum at ~2000
+    # steps is the measured headline recipe (F1@2 0.93-0.94 across
+    # seeds, docs/PERF.md); the curriculum is also what makes the
+    # result seed-robust (docs/design.md).
+    p.add_argument("--temperature", type=float, default=0.15)
     p.add_argument("--pause-prob", type=float, default=0.4)
     p.add_argument("--skip-blind", action="store_true",
                    help="train only the pause-aware model")
@@ -87,6 +91,16 @@ def build_parser():
     p.add_argument("--pause-bias", type=float, default=0.0,
                    help="per-frame pause occupancy cost (log-odds; "
                         "negative discourages pauses)")
+    p.add_argument("--pause-bias-start", type=float, default=-3.0,
+                   help="curriculum: initial pause bias, annealed "
+                        "linearly to --pause-bias over "
+                        "--pause-bias-anneal steps. Strongly negative "
+                        "starts let tokens claim their frames before "
+                        "pauses compete (the measured seed-robustness "
+                        "fix); 0 disables the curriculum")
+    p.add_argument("--pause-bias-anneal", type=int, default=None,
+                   help="curriculum length in steps (default: "
+                        "steps // 2)")
     p = sub.add_parser("bench-mas", help="single-chip MAS micro-benchmark")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--t-text", type=int, default=128)
@@ -220,10 +234,25 @@ def cmd_demo_pauses(args):
             hidden=128, temperature=args.temperature,
             model_pauses=model_pauses, use_recon=True,
             pause_prior=args.pause_prior, pause_bias=args.pause_bias))
+        apply_extra = None
+        if model_pauses and args.pause_bias_start is not None \
+                and args.pause_bias_start != args.pause_bias:
+            # Curriculum: anneal the pause occupancy cost from a
+            # strongly discouraging start to the configured final value,
+            # so tokens claim their frames before pauses compete (the
+            # early MAS path otherwise locks spurious pauses in through
+            # the binarisation CE on unlucky inits).
+            anneal = args.pause_bias_anneal or args.steps // 2
+            start, final = args.pause_bias_start, args.pause_bias
+
+            def apply_extra(step_no):
+                frac = jnp.clip(step_no / max(anneal, 1), 0.0, 1.0)
+                return {"pause_bias": start + (final - start) * frac}
         state, _ = train_aligner(
             model, batches, steps=args.steps, learning_rate=args.lr,
             bin_start=args.steps // 6, bin_ramp=args.steps // 3,
-            log_fn=lambda s: None, seed=_init_seed(args))
+            log_fn=lambda s: None, seed=_init_seed(args),
+            apply_extra=apply_extra)
         f1s, pauses = [], []
         for b in batches[:2]:
             bj = {k: jnp.asarray(v) for k, v in b.items()}

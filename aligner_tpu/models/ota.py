@@ -85,9 +85,15 @@ class OTAAligner(nn.Module):
     config: OTAConfig = OTAConfig()
 
     @nn.compact
-    def __call__(self, tokens, mel, text_lengths, mel_lengths):
+    def __call__(self, tokens, mel, text_lengths, mel_lengths,
+                 pause_bias=None):
         """tokens [B, T_x] int32; mel [B, T_y, n_mels];
-        text_lengths, mel_lengths [B] int32."""
+        text_lengths, mel_lengths [B] int32.
+
+        pause_bias: optional (traced) scalar overriding
+        config.pause_bias — lets a training schedule anneal the pause
+        occupancy cost per step without recompiling (see
+        train.step.make_train_step's apply_extra hook)."""
         from .encoders import MelEncoder, TextEncoder
         cfg = self.config
         B, T_x = tokens.shape
@@ -135,8 +141,9 @@ class OTAAligner(nn.Module):
 
         # Mask padded text tokens before the softmax over text.
         energies = jnp.where(text_mask[:, None, :] > 0, energies, -1e9)
-        if cfg.model_pauses and cfg.pause_bias:
-            energies = energies.at[:, :, T_x].add(cfg.pause_bias)
+        if cfg.model_pauses and (pause_bias is not None or cfg.pause_bias):
+            bias = cfg.pause_bias if pause_bias is None else pause_bias
+            energies = energies.at[:, :, T_x].add(bias)
         # Softmax over LABELS (tokens [+ pause class]), the CTC
         # normalisation: the single pause class competes once per frame
         # regardless of how many lattice states replicate it. A softmax

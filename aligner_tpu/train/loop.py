@@ -30,7 +30,8 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
                   eval_batches: Iterable[dict] | None = None,
                   eval_every: int | None = None,
                   resume: bool = False, prefetch: int = 2,
-                  seed: int = 0, shuffle: bool = True):
+                  seed: int = 0, shuffle: bool = True,
+                  apply_extra=None):
     """Train on an iterable of padded batch dicts (cycled). Returns the
     final TrainState and a list of metric records. When checkpointing,
     the model config (and any `config_extra`, e.g. tokenizer info) is
@@ -49,6 +50,9 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
     seed: seeds both the init PRNGKey and the per-epoch batch shuffle,
     and is recorded in config.json (`train_seed`) so runs are
     reproducible. shuffle=False restores the fixed cycle order.
+    apply_extra: optional `fn(step_no) -> dict` of extra model.apply
+    kwargs evaluated on the traced step counter (step-dependent model
+    schedules, e.g. a pause-bias curriculum; see train.step).
     """
     batches = list(batches)
     if lr_schedule == "constant" and warmup_steps <= 0:
@@ -83,10 +87,11 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
         extra.setdefault("shuffle", shuffle)
         save_run_config(checkpoint_dir, model.config, extra)
     step_fn = make_train_step(model, mesh=mesh, bin_start=bin_start,
-                              bin_ramp=bin_ramp, donate=False)
+                              bin_ramp=bin_ramp, donate=False,
+                              apply_extra=apply_extra)
     eval_batches = list(eval_batches) if eval_batches else None
     eval_fn = (make_eval_step(model, mesh=mesh, bin_start=bin_start,
-                              bin_ramp=bin_ramp)
+                              bin_ramp=bin_ramp, apply_extra=apply_extra)
                if eval_batches else None)
     if eval_every is None:
         eval_every = log_every * 4

@@ -110,7 +110,8 @@ def bin_loss_weight(step, start: int = 1000, ramp: int = 10000,
 
 def make_train_step(model, mesh=None, *, bin_start: int = 1000,
                     bin_ramp: int = 10000, recon_weight: float = 1.0,
-                    donate: bool = True, objective=None):
+                    donate: bool = True, objective=None,
+                    apply_extra=None):
     """Returns step(state, batch) -> (state, metrics), fully jitted.
 
     The default objective is the OTA schedule (forward-sum + annealed bin
@@ -118,16 +119,23 @@ def make_train_step(model, mesh=None, *, bin_start: int = 1000,
     `objective(out, step) -> (loss, extra_metrics)` — e.g. for
     MoBoAligner `lambda out, _: (out["loss_mobo"], {})` or for
     RoMoAligner `lambda out, _: (out["loss"], {})`.
+
+    apply_extra: optional `fn(step_no) -> dict` of extra keyword args
+    for model.apply, evaluated on the traced step counter inside the
+    jitted program (so step-dependent schedules — e.g. a pause-bias
+    curriculum — cost no recompiles). Must be jax-traceable.
     """
 
     obj = objective or make_default_objective(bin_start, bin_ramp,
                                               recon_weight)
 
     def step(state: TrainState, batch: dict[str, Any]):
+        extra_kw = apply_extra(state.step) if apply_extra else {}
+
         def loss_fn(params):
             out = model.apply({"params": params}, batch["tokens"],
                               batch["mel"], batch["text_lengths"],
-                              batch["mel_lengths"])
+                              batch["mel_lengths"], **extra_kw)
             loss, extra = obj(out, state.step)
             return loss, extra
 
@@ -168,16 +176,18 @@ def make_default_objective(bin_start: int = 1000, bin_ramp: int = 10000,
 
 def make_eval_step(model, mesh=None, *, bin_start: int = 1000,
                    bin_ramp: int = 10000, recon_weight: float = 1.0,
-                   objective=None):
+                   objective=None, apply_extra=None):
     """Returns eval(state, batch) -> metrics: the training objective
-    evaluated at the state's current step, no gradient, no update."""
+    evaluated at the state's current step, no gradient, no update.
+    apply_extra: as in make_train_step."""
     obj = objective or make_default_objective(bin_start, bin_ramp,
                                               recon_weight)
 
     def evaluate(state: TrainState, batch: dict[str, Any]):
+        extra_kw = apply_extra(state.step) if apply_extra else {}
         out = model.apply({"params": state.params}, batch["tokens"],
                           batch["mel"], batch["text_lengths"],
-                          batch["mel_lengths"])
+                          batch["mel_lengths"], **extra_kw)
         loss, extra = obj(out, state.step)
         return {"loss": loss, **extra}
 

@@ -65,6 +65,43 @@ def test_train_step_improves_loss(model_and_state):
     assert np.isfinite(losses).all()
 
 
+def test_pause_bias_override_and_curriculum():
+    """The pause_bias apply-time override shifts pause occupancy, and
+    the apply_extra hook threads a step-dependent bias through the
+    jitted train step (pause-bias curriculum)."""
+    model = OTAAligner(OTAConfig(vocab_size=50, dim=32, hidden=48,
+                                 mas_implementation="lax",
+                                 model_pauses=True, use_recon=True))
+    batch = make_batch()
+    state = create_train_state(jax.random.PRNGKey(0), model, batch,
+                               learning_rate=1e-3)
+
+    def occupancy(bias):
+        out = model.apply({"params": state.params}, batch["tokens"],
+                          batch["mel"], batch["text_lengths"],
+                          batch["mel_lengths"], pause_bias=bias)
+        return float(out["pause_durations"].sum()), out
+
+    occ_neg, out_neg = occupancy(-20.0)
+    occ_default, out_default = occupancy(None)
+    # a -20 log-odds occupancy cost must forbid (or nearly forbid)
+    # pause frames relative to the neutral default
+    assert occ_neg <= occ_default
+    assert occ_neg == 0.0
+    # None must reproduce the config default exactly (bias 0 = no-op)
+    np.testing.assert_allclose(np.asarray(out_default["log_attn"]),
+                               np.asarray(occupancy(0.0)[1]["log_attn"]))
+
+    # curriculum: bias is a traced function of the step counter inside
+    # one compiled step (no recompiles, loss stays finite)
+    sched = lambda s: {"pause_bias": -3.0 + 3.0 * jnp.clip(s / 4.0, 0, 1)}
+    step = make_train_step(model, bin_start=-1, bin_ramp=1, donate=False,
+                           apply_extra=sched)
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+
 def test_sharded_train_step_on_virtual_mesh():
     assert len(jax.devices()) == 8, "conftest should give 8 CPU devices"
     mesh = make_mesh(n_data=4, n_model=2)
