@@ -799,6 +799,151 @@ def mas_pallas_bits_nat(value, *, interpret: bool = False,
     )(value.astype(jnp.float32))
 
 
+def _fused_kernel_nat_tiled(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
+                            state_ref, *,
+                            max_neg_val: float = MAX_NEG_VAL,
+                            quad: bool = False):
+    """Batch-tiled fused natural pipeline: grid = (batch_blocks, 2n).
+    For each batch block, steps [0, n) sweep the block's natural-layout
+    value chunks (in-kernel transpose, decision bits into a VMEM
+    scratch), steps [n, 2n) run the compare-form walk emitting the path
+    in the reference's natural [Bb, T_x, chunk] layout. The bit lattice
+    never touches HBM — this deletes the two-kernel natural route's
+    2 x B*T_x*T_y int8 round-trip (64 MB at B=256, 128x1024) and one
+    kernel launch, at the price of a smaller batch tile (the
+    [T_yp, Bb, T_x] bits scratch must fit VMEM alongside the value and
+    path blocks — see _nat_fused_batch_block)."""
+    Bb, T_x, chunk = val_ref.shape
+    i = pl.program_id(1)
+    n = pl.num_programs(1) // 2
+    x = jax.lax.broadcasted_iota(jnp.int32, (Bb, T_x), 1)
+    tx = tx_ref[:]
+    ty = ty_ref[:]
+
+    # -- forward half (carry reset at each batch block's first step) ----
+    @pl.when(i == 0)
+    def _():
+        state_ref[:] = jnp.zeros_like(state_ref)
+
+    base_f = jnp.minimum(i, n - 1) * chunk
+
+    def fwd(vt, first_body):
+        prev = state_ref[:]
+        if first_body:
+            for j in range(chunk):
+                bits, prev = _fwd_step_full(prev, vt[j], base_f + j, x,
+                                            max_neg_val)
+                bits_ref[base_f + j] = bits
+        elif quad and chunk % 4 == 0 and T_x >= 2:
+            for jj in range(chunk // 4):
+                j = 4 * jj
+                b1, b2, b3, b4, prev = _fwd_quad_fast(
+                    prev, vt[j], vt[j + 1], vt[j + 2], vt[j + 3], x,
+                    max_neg_val)
+                bits_ref[base_f + j] = b1
+                bits_ref[base_f + j + 1] = b2
+                bits_ref[base_f + j + 2] = b3
+                bits_ref[base_f + j + 3] = b4
+        elif chunk % 2 == 0 and T_x >= 2:
+            for jj in range(chunk // 2):
+                j = 2 * jj
+                bitsA, bitsB, prev = _fwd_pair_fast(
+                    prev, vt[j], vt[j + 1], x, max_neg_val)
+                bits_ref[base_f + j] = bitsA
+                bits_ref[base_f + j + 1] = bitsB
+        else:
+            for j in range(chunk):
+                bits, prev = _fwd_step_fast(prev, vt[j], x, max_neg_val)
+                bits_ref[base_f + j] = bits
+        return prev
+
+    @pl.when((i < n) & (i * chunk < T_x))
+    def _():
+        state_ref[:] = fwd(jnp.transpose(val_ref[:], (2, 0, 1)), True)
+
+    @pl.when((i < n) & (i * chunk >= T_x))
+    def _():
+        state_ref[:] = fwd(jnp.transpose(val_ref[:], (2, 0, 1)), False)
+
+    # -- backtrack half (compare form, natural output) ------------------
+    @pl.when(i == n)
+    def _():
+        valid = (tx >= 1) & (tx <= ty)
+        state_ref[:] = ((x == tx - 1) & valid).astype(jnp.float32)
+
+    base_b = jnp.clip(2 * n - 1 - i, 0, n - 1) * chunk
+
+    @pl.when(i >= n)
+    def _():
+        ind, acc = _bt_cmp_walk(state_ref[:],
+                                lambda j: bits_ref[base_b + j], base_b,
+                                chunk, ty, T_x, Bb, x)
+        state_ref[:] = ind
+        path_ref[:] = _cmp_emit(acc, Bb, T_x, chunk)
+
+
+def _nat_fused_batch_block(B: int, T_x: int, T_yp: int,
+                           chunk: int) -> int | None:
+    """Largest usable batch tile for the fused natural pipeline: the
+    int8 bits scratch (T_yp rows) plus the double-buffered f32 value
+    and path blocks must fit a ~12 MB VMEM budget."""
+    budget = 12 * 1024 * 1024
+    per_elem = T_yp + 16 * chunk  # int8 bits + 2x(f32 in) + 2x(f32 out)
+    max_elems = budget // per_elem
+    if B * T_x <= max_elems:
+        return B
+    for bb in range(B - 1, 0, -1):
+        if B % bb == 0 and bb * T_x <= max_elems and bb % 8 == 0:
+            return bb
+    return None
+
+
+def mas_pallas_nat_fused_tiled(value, t_x, t_y, *,
+                               interpret: bool = False,
+                               max_neg_val: float = MAX_NEG_VAL,
+                               batch_block: int | None = None,
+                               _chunk: int | None = None,
+                               quad: bool = False):
+    """Single-launch natural-in/natural-out MAS over batch tiles:
+    [B, T_x, T_y] f32 lattice + lengths -> f32 path [B, T_x, T_y]
+    (the reference's layout end to end; the caller slices off frame
+    padding). Requires T_x % 8 == 0 and a usable batch tile."""
+    B, T_x, T_y = value.shape
+    pad = (-T_y) % (128 if T_y > 128 else 8)
+    if pad:
+        value = jnp.pad(value, ((0, 0), (0, 0), (0, pad)))
+    T_yp = T_y + pad
+    chunk = _chunk or (128 if T_yp % 128 == 0 else T_yp)
+    bb = batch_block or _nat_fused_batch_block(B, T_x, T_yp, chunk)
+    if bb is None or B % bb:
+        raise ValueError(f"no usable fused batch tile for B = {B}")
+    n = T_yp // chunk
+    tx_b = jnp.broadcast_to(t_x.astype(jnp.int32)[:, None], (B, T_x))
+    ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None], (B, T_x))
+    len_spec = pl.BlockSpec((bb, T_x), lambda b, i: (b, 0),
+                            memory_space=pltpu.VMEM)
+    val_map = lambda b, i: (b, 0, jnp.minimum(i, n - 1))
+    path_map = lambda b, i: (b, 0, jnp.clip(2 * n - 1 - i, 0, n - 1))
+    path = pl.pallas_call(
+        functools.partial(_fused_kernel_nat_tiled,
+                          max_neg_val=max_neg_val,
+                          quad=quad and chunk % 4 == 0),
+        grid=(B // bb, 2 * n),
+        in_specs=[
+            len_spec, len_spec,
+            pl.BlockSpec((bb, T_x, chunk), val_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, T_x, chunk), path_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T_x, T_yp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T_yp, bb, T_x), jnp.int8),
+                        pltpu.VMEM((bb, T_x), jnp.float32)],
+        interpret=interpret,
+    )(tx_b, ty_b, value.astype(jnp.float32))
+    return path[:, :, :T_y]
+
+
 def _pick_chunk(T_y: int, B: int = 32, T_x: int = 128,
                 budget_bytes: int = 4 * 1024 * 1024) -> int:
     """Largest frame-chunk whose double-buffered f32 block fits the VMEM
@@ -921,54 +1066,37 @@ def _backtrack_kernel_nat(tx_ref, ty_ref, bits_ref, path_ref, buf_ref,
         jnp.transpose(buf_ref[:], (1, 0, 2)), (0, 2, 1))
 
 
-def _backtrack_kernel_nat_cmp(tx_ref, ty_ref, bits_ref, path_ref,
-                              ind_ref):
-    """Natural-output backtrack, compare form: the walk packs each
-    frame's one-hot emit row into one lane of a tiny [Bb, chunk] index
-    row (packed as token_index + 1; 0 = no emission — dead frame or
-    invalid item), and the output block is produced by ONE broadcast
-    compare of that row against an iota over T_x. No staging buffer, no
-    in-kernel relayout passes: this trades _backtrack_kernel_nat's two
-    VMEM transposes (the dominant cost of the staged form) for one
-    lane-reduction per frame — off the walk's carry chain, so it
-    overlaps — plus a single elementwise pass over the output block."""
-    chunk = bits_ref.shape[0]
-    Bb, T_x = ind_ref.shape
-    i = pl.program_id(1)
-    n = pl.num_programs(1)
-
-    tx = tx_ref[:]
-    ty = ty_ref[:]
-    x = jax.lax.broadcasted_iota(jnp.int32, (Bb, T_x), 1)
+def _bt_cmp_walk(ind, bits_at, frame0, chunk, ty, T_x, Bb, x):
+    """Compare-form chunk walk shared by the standalone natural-output
+    backtrack and the fused natural pipeline: walk `chunk` frames
+    top-down, packing each frame's emitted token index into one lane of
+    a [Bb, chunk] f32 row (packed as token_index + 1; 0 = no emission —
+    dead frame or invalid item). `bits_at(j)` reads the bit row for
+    in-chunk frame j; `frame0 + j` is the absolute frame index. The
+    per-frame lane-reduction (sum of one-hot x iota) is off the walk's
+    carry chain, so it overlaps.
+    Returns (new indicator, packed [Bb, chunk] row)."""
     xp1 = (x + 1).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, chunk), 1)
 
-    @pl.when(i == 0)
-    def _():
-        valid = (tx >= 1) & (tx <= ty)
-        ind_ref[:] = ((x == tx - 1) & valid).astype(jnp.float32)
-
-    base = (n - 1 - i) * chunk
-
     def pack(emit, j, acc):
-        # [Bb, T_x] one-hot -> packed index in lane j of the acc row.
         v = jnp.sum(emit * xp1, axis=1, keepdims=True)
         return acc + v * (lane == j).astype(jnp.float32)
 
     def single_step(j, carry):
         ind, acc = carry
-        emit, new = _bt_step(ind, bits_ref[j], base + j, ty, T_x)
+        emit, new = _bt_step(ind, bits_at(j), frame0 + j, ty, T_x)
         return new, pack(emit, j, acc)
 
     def pair_body(jj, carry):
         ind, acc = carry
         j_hi = chunk - 1 - (chunk % 2) - 2 * jj
         j_lo = j_hi - 1
-        p_hi, p_lo, new = _bt_pair(ind, bits_ref[j_hi], bits_ref[j_lo],
-                                   base + j_hi, ty, T_x)
+        p_hi, p_lo, new = _bt_pair(ind, bits_at(j_hi), bits_at(j_lo),
+                                   frame0 + j_hi, ty, T_x)
         return new, pack(p_lo, j_lo, pack(p_hi, j_hi, acc))
 
-    carry = (ind_ref[:], jnp.zeros((Bb, chunk), jnp.float32))
+    carry = (ind, jnp.zeros((Bb, chunk), jnp.float32))
     if chunk % 2:
         carry = single_step(chunk - 1, carry)
     if T_x >= 2:
@@ -981,11 +1109,45 @@ def _backtrack_kernel_nat_cmp(tx_ref, ty_ref, bits_ref, path_ref,
                 chunk - 1 - (chunk % 2) - 2 * jj - 1,
                 single_step(chunk - 1 - (chunk % 2) - 2 * jj, c)),
             carry, unroll=True)
-    ind, acc = carry
-    ind_ref[:] = ind
+    return carry
+
+
+def _cmp_emit(acc, Bb, T_x, chunk):
+    """Packed [Bb, chunk] index row -> [Bb, T_x, chunk] one-hot block
+    via one broadcast integer compare."""
     x3 = jax.lax.broadcasted_iota(jnp.int32, (Bb, T_x, chunk), 1)
-    path_ref[:] = (x3 + 1 == acc.astype(jnp.int32)[:, None, :]) \
+    return (x3 + 1 == acc.astype(jnp.int32)[:, None, :]) \
         .astype(jnp.float32)
+
+
+def _backtrack_kernel_nat_cmp(tx_ref, ty_ref, bits_ref, path_ref,
+                              ind_ref):
+    """Natural-output backtrack, compare form: the packed-index walk
+    (_bt_cmp_walk) plus ONE broadcast compare producing the whole
+    [Bb, T_x, chunk] output block. No staging buffer, no in-kernel
+    relayout passes: this trades _backtrack_kernel_nat's two VMEM
+    transposes (the dominant cost of the staged form) for one
+    off-chain lane-reduction per frame plus a single elementwise pass
+    over the output block."""
+    chunk = bits_ref.shape[0]
+    Bb, T_x = ind_ref.shape
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+
+    tx = tx_ref[:]
+    ty = ty_ref[:]
+    x = jax.lax.broadcasted_iota(jnp.int32, (Bb, T_x), 1)
+
+    @pl.when(i == 0)
+    def _():
+        valid = (tx >= 1) & (tx <= ty)
+        ind_ref[:] = ((x == tx - 1) & valid).astype(jnp.float32)
+
+    base = (n - 1 - i) * chunk
+    ind, acc = _bt_cmp_walk(ind_ref[:], lambda j: bits_ref[j], base,
+                            chunk, ty, T_x, Bb, x)
+    ind_ref[:] = ind
+    path_ref[:] = _cmp_emit(acc, Bb, T_x, chunk)
 
 
 # Backtrack batch tile: the double-buffered f32 output blocks plus the
@@ -1165,6 +1327,19 @@ def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None,
     # interpret-mode compile is disproportionately slow (per-step block
     # transposes), and CPU callers see identical results either way.
     natural_ok = (not interpret) and ((T_yp8 % 128 == 0) or (T_yp8 <= 128))
+    T_ypn = T_y + ((-T_y) % (128 if T_y > 128 else 8))
+    chunk_n = 128 if T_ypn % 128 == 0 else T_ypn
+    if (fuse is not False and natural_ok and T_x % 8 == 0
+            and _nat_fused_batch_block(B, T_x, T_ypn, chunk_n) == B):
+        # Whole batch in one tile: the single-launch natural-in/
+        # natural-out pipeline wins (B=32 headline 0.134 -> 0.120 ms —
+        # deletes the output transpose+convert the time-major fused
+        # route pays). With more than one tile per batch it LOSES (the
+        # bits scratch halves the tile, doubling the sequential chain:
+        # 0.91 vs 0.70 ms at B=256), so it is gated on a single tile.
+        return mas_pallas_nat_fused_tiled(
+            value, t_x, t_y, interpret=interpret,
+            max_neg_val=max_neg_val, quad=quad)
     if fuse is not False and fits and natural_ok:
         path_t = mas_pallas_fused_nat(value.astype(jnp.float32), t_x, t_y,
                                       interpret=interpret,

@@ -11,7 +11,12 @@ is T_y steps for the forward + T_y for the backtrack; everything else is
 Also reports the two-kernel split and quad on/off for the same shapes,
 and the host-side dispatch overhead (wall enqueue time of an async call).
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -59,6 +59,23 @@ def main():
                 print(f"backtrack form={form:5s} bb={bb}: FAILED "
                       f"{type(e).__name__}: {str(e)[:160]}")
 
+    # fused natural-in/natural-out single-launch route
+    for bb in (None, 8, 16, 32):
+        for quad in (False, True):
+            try:
+                fn = jax.jit(lambda v, x, y, bb=bb, quad=quad:
+                             mp.mas_pallas_nat_fused_tiled(
+                                 v, x, y, batch_block=bb, quad=quad))
+                out = np.asarray(
+                    jax.block_until_ready(fn(value, t_x, t_y)))
+                ok = np.array_equal(out.astype(np.int32), want)
+                ms = measure_device_time(lambda: fn(value, t_x, t_y)) * 1e3
+                print(f"fused-nat bb={bb} quad={quad}: {ms:.3f} ms "
+                      f"bitexact={ok} ({B / ms * 1e3:,.0f} paths/s)")
+            except Exception as e:  # noqa: BLE001
+                print(f"fused-nat bb={bb} quad={quad}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:160]}")
+
     # end-to-end drop-in
     out = np.asarray(jax.block_until_ready(
         mp.mas_pallas(value, t_x, t_y))).astype(np.int32)

@@ -26,21 +26,21 @@ import jax.numpy as jnp
 # <= 128; fused requires the bit lattice <= FUSED_BITS_BUDGET; quad
 # requires B*T_x <= QUAD_MAX_ELEMS (4096).
 SHAPES = [
-    (1, 64, 256, "fused-nat quad"),
-    (1, 128, 1024, "fused-nat quad"),
-    (2, 16, 384, "fused-nat quad"),
-    (8, 128, 1024, "fused-nat quad"),
-    (16, 128, 1024, "fused-nat quad"),
-    (32, 128, 1024, "fused-nat quad (headline)"),
+    (1, 64, 256, "nat-fused-tiled quad (single tile)"),
+    (1, 128, 1024, "nat-fused-tiled quad"),
+    (2, 16, 384, "nat-fused-tiled quad"),
+    (8, 128, 1024, "nat-fused-tiled quad"),
+    (16, 128, 1024, "nat-fused-tiled quad"),
+    (32, 128, 1024, "nat-fused-tiled quad (headline)"),
     (3, 40, 200, "tm fused quad (T_y not 128-aligned)"),
     (5, 8, 201, "tm fused quad, odd T_y padding"),
-    (5, 8, 21, "fused-nat quad, whole-axis chunk, odd T_y"),
-    (4, 1, 64, "T_x == 1"),
-    (4, 256, 96, "multi-lane-tile T_x"),
-    (33, 128, 1024, "fused-nat pair (odd B, > quad gate)"),
+    (5, 8, 21, "nat-fused-tiled quad, whole-axis chunk, odd T_y"),
+    (4, 1, 64, "T_x == 1 (fused-nat: T_x not 8-multiple)"),
+    (4, 256, 96, "multi-lane-tile T_x (nat-fused-tiled)"),
+    (33, 128, 1024, "fused-nat pair (odd B: no fused tile; > quad gate)"),
     (33, 128, 200, "tm fused pair (> quad gate, unaligned T_y)"),
-    (64, 128, 1024, "natural two-kernel forward"),
-    (64, 128, 2048, "natural two-kernel forward (config 5)"),
+    (64, 128, 1024, "natural two-kernel + cmp backtrack"),
+    (64, 128, 2048, "natural two-kernel + cmp backtrack (config 5)"),
     (72, 128, 1024, "natural batch-tiled two-kernel (bb=24)"),
     (256, 128, 1024, "natural batch-tiled two-kernel (serving, bb=64)"),
     (250, 128, 1024, "tm two-kernel (no 8-multiple batch tile)"),

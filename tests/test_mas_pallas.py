@@ -304,6 +304,30 @@ def test_natural_output_backtrack():
             np.testing.assert_array_equal(got, want)
 
 
+def test_nat_fused_tiled():
+    """Single-launch natural-in/natural-out pipeline (bits in VMEM) is
+    bit-identical to the reference oracle across batch tiles, odd
+    chunks, quad composition, and the invalid-item contract."""
+    from aligner_tpu.ops.mas_pallas import mas_pallas_nat_fused_tiled
+
+    rng = np.random.default_rng(64)
+    B, T_x, T_y = 8, 16, 40
+    value = (rng.standard_normal((B, T_x, T_y)) * 3).astype(np.float32)
+    t_xs = rng.integers(T_x // 2, T_x + 1, B).astype(np.int32)
+    t_ys = np.maximum(t_xs, rng.integers(T_y // 2, T_y + 1, B)) \
+        .astype(np.int32)
+    want = oracle(value, t_xs, t_ys)
+    t_xs[1], t_ys[1] = T_x, 2          # invalid: all-zero path
+    want[1] = 0                        # (oracle raises on t_x > t_y)
+    for bb, chunk, quad in ((2, 8, False), (4, 8, True), (8, 5, False),
+                            (4, 4, True)):
+        got = np.asarray(mas_pallas_nat_fused_tiled(
+            jnp.asarray(value), jnp.asarray(t_xs), jnp.asarray(t_ys),
+            interpret=True, batch_block=bb, _chunk=chunk,
+            quad=quad)).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_fused_budget_error():
     from aligner_tpu.ops.mas_pallas import FUSED_BITS_BUDGET, mas_pallas_tm
     T_y = 8 * ((FUSED_BITS_BUDGET // (2 * 128)) // 8 + 8)
