@@ -882,6 +882,13 @@ def _fused_kernel_nat_tiled(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
         path_ref[:] = _cmp_emit(acc, Bb, T_x, chunk)
 
 
+# Minimum lattice size (B * T_x * T_y_padded elements) for the fused
+# natural-in/natural-out route: below this the extra f32 output write
+# costs more than the XLA transpose+convert it deletes (measured
+# crossover between B=16 and B=24 at 128x1024 — 2.1M vs 3.1M elems).
+NAT_FUSED_MIN_ELEMS = 2_500_000
+
+
 def _nat_fused_batch_block(B: int, T_x: int, T_yp: int,
                            chunk: int) -> int | None:
     """Largest usable batch tile for the fused natural pipeline: the
@@ -1330,13 +1337,19 @@ def mas_pallas(value, t_x, t_y, *, interpret: bool | None = None,
     T_ypn = T_y + ((-T_y) % (128 if T_y > 128 else 8))
     chunk_n = 128 if T_ypn % 128 == 0 else T_ypn
     if (fuse is not False and natural_ok and T_x % 8 == 0
+            and B * T_x * T_ypn >= NAT_FUSED_MIN_ELEMS
             and _nat_fused_batch_block(B, T_x, T_ypn, chunk_n) == B):
-        # Whole batch in one tile: the single-launch natural-in/
-        # natural-out pipeline wins (B=32 headline 0.134 -> 0.120 ms —
-        # deletes the output transpose+convert the time-major fused
-        # route pays). With more than one tile per batch it LOSES (the
-        # bits scratch halves the tile, doubling the sequential chain:
-        # 0.91 vs 0.70 ms at B=256), so it is gated on a single tile.
+        # Whole batch in one tile AND a large enough lattice: the
+        # single-launch natural-in/natural-out pipeline wins (B=32
+        # headline 0.134 -> 0.120 ms — deletes the output
+        # transpose+convert the time-major fused route pays, whose cost
+        # scales with the lattice). With more than one tile per batch
+        # it LOSES (the bits scratch halves the tile, doubling the
+        # sequential chain: 0.91 vs 0.70 ms at B=256), and below the
+        # element gate the extra f32 output write costs more than the
+        # transpose it saves (B=16 at 128x1024: 94 vs 81 us; B=1 at
+        # 64x256: 26 vs 21 us) — measured crossover between 2.1M and
+        # 3.1M lattice elements.
         return mas_pallas_nat_fused_tiled(
             value, t_x, t_y, interpret=interpret,
             max_neg_val=max_neg_val, quad=quad)

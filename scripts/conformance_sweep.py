@@ -26,17 +26,17 @@ import jax.numpy as jnp
 # <= 128; fused requires the bit lattice <= FUSED_BITS_BUDGET; quad
 # requires B*T_x <= QUAD_MAX_ELEMS (4096).
 SHAPES = [
-    (1, 64, 256, "nat-fused-tiled quad (single tile)"),
-    (1, 128, 1024, "nat-fused-tiled quad"),
-    (2, 16, 384, "nat-fused-tiled quad"),
-    (8, 128, 1024, "nat-fused-tiled quad"),
-    (16, 128, 1024, "nat-fused-tiled quad"),
+    (1, 64, 256, "fused-nat quad (< NAT_FUSED_MIN_ELEMS)"),
+    (1, 128, 1024, "fused-nat quad"),
+    (2, 16, 384, "fused-nat quad"),
+    (8, 128, 1024, "fused-nat quad"),
+    (16, 128, 1024, "fused-nat quad (just under the fused-tiled gate)"),
     (32, 128, 1024, "nat-fused-tiled quad (headline)"),
     (3, 40, 200, "tm fused quad (T_y not 128-aligned)"),
     (5, 8, 201, "tm fused quad, odd T_y padding"),
-    (5, 8, 21, "nat-fused-tiled quad, whole-axis chunk, odd T_y"),
-    (4, 1, 64, "T_x == 1 (fused-nat: T_x not 8-multiple)"),
-    (4, 256, 96, "multi-lane-tile T_x (nat-fused-tiled)"),
+    (5, 8, 21, "fused-nat quad, whole-axis chunk, odd T_y"),
+    (4, 1, 64, "T_x == 1"),
+    (4, 256, 96, "multi-lane-tile T_x"),
     (33, 128, 1024, "fused-nat pair (odd B: no fused tile; > quad gate)"),
     (33, 128, 200, "tm fused pair (> quad gate, unaligned T_y)"),
     (64, 128, 1024, "natural two-kernel + cmp backtrack"),
