@@ -72,6 +72,14 @@ def build_parser():
     _common(p)
     p.add_argument("--max-duration", type=int, default=10)
     p = sub.add_parser(
+        "demo-romo",
+        help="train the RoMo aligner (rough OTA anchors + windowed MoBo "
+             "refinement) and report rough vs refined duration quality")
+    _common(p)
+    p.add_argument("--max-duration", type=int, default=10)
+    p.add_argument("--window", type=int, default=8,
+                   help="refinement half-window around the rough anchors")
+    p = sub.add_parser(
         "demo-pauses",
         help="implicit pause modeling on a silence-bearing corpus: "
              "train the pause-aware OTA aligner vs the pause-blind one "
@@ -376,6 +384,86 @@ def cmd_demo_mobo(args):
     }))
 
 
+def cmd_demo_romo(args):
+    """RoMoAligner end to end: the rough OTA stage learns soft
+    posteriors whose expected durations anchor the windowed MoBo
+    refinement (reference README.md:15-19); reports both stages'
+    duration quality so the refinement's contribution is visible."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .data import (SyntheticConfig, duration_accuracy, make_corpus,
+                       pad_batch)
+    from .models import RoMoAligner, RoMoConfig
+    from .utils.eval import boundary_f1
+
+    if args.max_duration < 3:
+        raise SystemExit("--max-duration must be >= 3 (the synthetic "
+                         "corpus draws durations in [2, max_duration-1])")
+    cfg = SyntheticConfig(seed=args.seed,
+                          max_tokens=args.max_tokens or 16,
+                          max_duration=min(7, args.max_duration - 1),
+                          **_synth_kwargs(args))
+    corpus = make_corpus(args.batch_size, cfg)
+    batch = pad_batch(corpus)
+    b = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model = RoMoAligner(RoMoConfig(
+        vocab_size=cfg.vocab_size, n_mels=cfg.n_mels, dim=64, hidden=96,
+        max_duration=args.max_duration, window=args.window))
+    params = model.init(jax.random.PRNGKey(_init_seed(args)), b["tokens"],
+                        b["mel"], b["text_lengths"],
+                        b["mel_lengths"])["params"]
+    tx = optax.adam(args.lr * 3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def train1(params, opt):
+        def loss_fn(p):
+            out = model.apply({"params": p}, b["tokens"], b["mel"],
+                              b["text_lengths"], b["mel_lengths"],
+                              compute_hard=False)
+            return out["loss"]
+        l, g = jax.value_and_grad(loss_fn)(params)
+        u, opt = tx.update(g, opt)
+        return optax.apply_updates(params, u), opt, l
+
+    for i in range(args.steps):
+        params, opt, l = train1(params, opt)
+        if i % 100 == 0:
+            print(f"step {i:5d}  rough+refine {float(l):.4f}")
+    out = model.apply({"params": params}, b["tokens"], b["mel"],
+                      b["text_lengths"], b["mel_lengths"])
+
+    def stage_metrics(durs):
+        accs = []
+        for i in range(len(corpus)):
+            t_xi = len(corpus[i]["tokens"])
+            d = np.asarray(durs[i])
+            rec = duration_accuracy(np.rint(d).astype(int), corpus[i])
+            rec["f1"] = boundary_f1(np.rint(d[:t_xi]).astype(int),
+                                    corpus[i]["durations"],
+                                    tolerance_frames=2)["f1"]
+            accs.append(rec)
+        return {
+            "duration_exact": round(float(np.mean([a["exact"]
+                                                   for a in accs])), 3),
+            "duration_mae": round(float(np.mean([a["mae"]
+                                                 for a in accs])), 3),
+            "boundary_f1_tol2": round(float(np.mean([a["f1"]
+                                                     for a in accs])), 3),
+        }
+
+    print(json.dumps({
+        "demo": "romo",
+        "refine_feasible": round(float(np.mean(
+            np.asarray(out["refine_feasible"]))), 3),
+        "rough": stage_metrics(out["rough_durations"]),
+        "refined": stage_metrics(out["hard_durations"]),
+    }))
+
+
 def cmd_bench_mas(args):
     import importlib.util
     import os as _os
@@ -557,6 +645,8 @@ def main(argv=None):
         cmd_demo_ota(args)
     elif args.cmd == "demo-mobo":
         cmd_demo_mobo(args)
+    elif args.cmd == "demo-romo":
+        cmd_demo_romo(args)
     elif args.cmd == "demo-pauses":
         cmd_demo_pauses(args)
     elif args.cmd == "bench-mas":

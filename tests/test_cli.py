@@ -91,3 +91,18 @@ def test_train_missing_metadata_fails_fast(tmp_path):
     with pytest.raises(SystemExit, match="metadata.csv"):
         main(["train", str(tmp_path), "--checkpoint-dir",
               str(tmp_path / "c")])
+
+
+def test_demo_romo_smoke(capsys):
+    """demo-romo runs end to end (rough + refined stage metrics) on a
+    tiny budget; quality is exercised in the TPU campaign, not here."""
+    from aligner_tpu.cli import main
+
+    main(["demo-romo", "--steps", "5", "--batch-size", "4",
+          "--utterances", "4"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rec["demo"] == "romo"
+    for stage in ("rough", "refined"):
+        assert 0.0 <= rec[stage]["boundary_f1_tol2"] <= 1.0
+        assert rec[stage]["duration_mae"] >= 0.0
