@@ -92,6 +92,15 @@ def _prep_energies(energies, t_x, t_y):
     return jnp.concatenate([pad, e], axis=2)  # [T_x, B, T_y+1]
 
 
+def _use_pallas() -> bool:
+    """Route the sequential token sweeps to the Pallas kernels on TPU
+    (measured 2.14x over the fused XLA scan at config 4 —
+    scripts/mobo_pallas_proto.py, docs/design.md); the lax scans below
+    remain the CPU/interpret oracle, mirroring the MAS kernel/oracle
+    split."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _boundary_scan(e_tm, t_x, t_y, D, use_max: bool):
     """Forward boundary recursion.
 
@@ -178,9 +187,32 @@ def mobo_log_marginal(energies, t_x, t_y, max_duration: int):
     return total
 
 
+def _alpha(e_tm, t_x, t_y, D):
+    """logB stack via the Pallas kernel on TPU, lax scan elsewhere.
+
+    Only for non-autodiff surfaces: Pallas kernels have no reverse-mode
+    AD rule, so these helpers are used inside mobo_log_marginal's
+    custom VJP (gradients are analytic, never traced through the
+    kernels) and the stop-gradient hard mode. `mobo_forward` keeps the
+    lax scans — its posteriors/soft alignment ARE an autodiff surface
+    (the MoBo reconstruction objective differentiates through gamma)."""
+    if _use_pallas():
+        from .mobo_pallas import mobo_alpha_pallas
+        return mobo_alpha_pallas(e_tm, t_x, D)
+    return _boundary_scan(e_tm, t_x, t_y, D, use_max=False)[0]
+
+
+def _beta(e_tm, t_x, t_y, D):
+    """beta stack via the Pallas kernel on TPU (see _alpha's AD note)."""
+    if _use_pallas():
+        from .mobo_pallas import mobo_beta_pallas
+        return mobo_beta_pallas(e_tm, t_x, t_y, D)
+    return _beta_scan(e_tm, t_x, t_y, D)
+
+
 def _mobo_log_marginal_fwd(energies, t_x, t_y, max_duration):
     e_tm = _prep_energies(energies, t_x, t_y)
-    logB, _ = _boundary_scan(e_tm, t_x, t_y, max_duration, use_max=False)
+    logB = _alpha(e_tm, t_x, t_y, max_duration)
     total = _total_from_logB(logB, t_x, t_y)
     return total, (e_tm, logB, total, t_x, t_y)
 
@@ -189,7 +221,7 @@ def _mobo_log_marginal_bwd(max_duration, res, g):
     e_tm, logB, total, t_x, t_y = res
     T_x, B, T_y1 = e_tm.shape
     D = max_duration
-    betas = _beta_scan(e_tm, t_x, t_y, D)
+    betas = _beta(e_tm, t_x, t_y, D)
     log_xi = logB + betas - total[None, :, None]      # [T_x, B, T_y1]
 
     # log xi_{i-1}: virtual boundary xi_{-1} = delta(p = 0).
@@ -234,6 +266,8 @@ def mobo_forward(energies, t_x, t_y, max_duration: int):
     B, T_y, T_x = energies.shape
     T_y1 = T_y + 1
     e_tm = _prep_energies(energies, t_x, t_y)
+    # lax scans, NOT the Pallas kernels: callers differentiate through
+    # the posteriors (see _alpha's AD note).
     logB, _ = _boundary_scan(e_tm, t_x, t_y, max_duration, use_max=False)
     total = _total_from_logB(logB, t_x, t_y)
     betas = _beta_scan(e_tm, t_x, t_y, max_duration)
@@ -274,7 +308,12 @@ def mobo_hard_boundaries(energies, t_x, t_y, max_duration: int):
     path [B, T_y, T_x] float32 0/1)."""
     B, T_y, T_x = energies.shape
     e_tm = _prep_energies(energies, t_x, t_y)
-    _, bps = _boundary_scan(e_tm, t_x, t_y, max_duration, use_max=True)
+    if _use_pallas():
+        from .mobo_pallas import mobo_bp_pallas
+        bps = mobo_bp_pallas(e_tm, t_x, max_duration)
+    else:
+        _, bps = _boundary_scan(e_tm, t_x, t_y, max_duration,
+                                use_max=True)
 
     def backtrack(bps_i, t_x_i, t_y_i):
         # walk tokens i = T_x-1 .. 0; position on shifted grid.

@@ -93,6 +93,14 @@ PLAIN_FS = [
     (2, 16, 40, False, "forced per-frame (small, CI)"),
     (3, 8, 40, "invalid", "invalid item -> zero loss/grad"),
 ]
+# (B, T_x, T_y, D, note) — MoBo token sweeps (alpha/beta/backpointers)
+MOBO = [
+    (2, 10, 30, 4, "small (CI)"),
+    (16, 128, 1024, 16, "config-4 shape"),
+    (8, 33, 200, 8, "odd T_x (chunk padding), odd T_y"),
+    (4, 24, 24, 2, "tight window (t_y == t_x, D = 2)"),
+    (3, 6, 40, 4, "infeasible item (t_y > t_x * D -> dead lattice)"),
+]
 
 
 def lengths(rng, B, T_x, T_y, mode):
@@ -229,8 +237,70 @@ def check_plain_fs(B, T_x, T_y, pair, note, seed):
     return ok, f"loss_err {err_l:.2e} gamma_err {err_g:.2e}"
 
 
+def check_mobo(B, T_x, T_y, D, note, seed):
+    """MoBo token sweeps (round-3 Pallas kernels, 2.14x the XLA scan)
+    vs the lax-scan oracles: alpha/beta live cells tight, dead cells
+    both below the NEG threshold, backpointers equal on live tokens."""
+    from aligner_tpu.ops.mobo import (NEG, _beta_scan, _boundary_scan,
+                                      _prep_energies)
+    from aligner_tpu.ops.mobo_pallas import (mobo_alpha_pallas,
+                                             mobo_beta_pallas,
+                                             mobo_bp_pallas)
+
+    rng = np.random.default_rng(11000 * seed + B + T_x + T_y)
+    e = jnp.asarray(rng.standard_normal((B, T_y, T_x)).astype(np.float32))
+    tx = jnp.asarray(rng.integers(max(T_x // 2, 1), T_x + 1, B),
+                     jnp.int32)
+    ty_raw = rng.integers(max(T_y // 2, 1), T_y + 1, B)
+    if "infeasible" in note:
+        ty = jnp.asarray(ty_raw, jnp.int32)  # may violate t_y <= t_x*D
+    else:
+        ty = jnp.asarray(np.minimum(ty_raw, np.asarray(tx) * D),
+                         jnp.int32)
+    e_tm = _prep_energies(e, tx, ty)
+
+    def delta(got, want):
+        got, want = np.asarray(got), np.asarray(want)
+        live = want > 0.5 * NEG
+        dead_ok = (got[~live] <= 0.5 * NEG).all()
+        err = (float(np.abs(got[live] - want[live]).max())
+               if live.any() else 0.0)
+        return err, dead_ok
+
+    logB_lax, _ = _boundary_scan(e_tm, tx, ty, D, use_max=False)
+    err_a, dead_a = delta(
+        mobo_alpha_pallas(e_tm, tx, D, interpret=args.interpret),
+        logB_lax)
+    err_b, dead_b = delta(
+        mobo_beta_pallas(e_tm, tx, ty, D, interpret=args.interpret),
+        _beta_scan(e_tm, tx, ty, D))
+    _, bps_lax = _boundary_scan(e_tm, tx, ty, D, use_max=True)
+    got_bp = np.asarray(mobo_bp_pallas(e_tm, tx, D,
+                                       interpret=args.interpret))
+    want_bp = np.asarray(bps_lax)
+    bp_ok = all(
+        np.array_equal(got_bp[:int(tx[i]), i], want_bp[:int(tx[i]), i])
+        for i in range(B))
+    ok = (err_a <= 1e-4 and err_b <= 1e-4 and dead_a and dead_b
+          and bp_ok)
+    return ok, (f"alpha_err {err_a:.2e} beta_err {err_b:.2e} "
+                f"bp {'ok' if bp_ok else 'MISMATCH'}")
+
+
 def main():
     failures = total = 0
+    for B, T_x, T_y, D, note in MOBO:
+        if args.interpret and B * T_x * T_y > 30_000:
+            print(f"SKIP mobo              B={B:3d} T_x={T_x:3d} "
+                  f"T_y={T_y:4d} [{note}] (device-only size)")
+            continue
+        for seed in range(args.seeds):
+            ok, detail = check_mobo(B, T_x, T_y, D, note, seed)
+            total += 1
+            failures += not ok
+            print(f"{'OK  ' if ok else 'FAIL'} {'mobo':17s} B={B:3d} "
+                  f"T_x={T_x:3d} T_y={T_y:4d} seed={seed} "
+                  f"[{note}] {detail}")
     for name, grid, fn in (("skip-viterbi", SKIP_VITERBI,
                             check_skip_viterbi),
                            ("skip-forward-sum", SKIP_FS, check_skip_fs),

@@ -171,3 +171,63 @@ def test_analytic_gradient_matches_autodiff():
     for i in range(B):
         np.testing.assert_allclose(s[i, :int(t_x[i])], 0.0, atol=1e-4)
         np.testing.assert_allclose(s[i, int(t_x[i]):], 0.0, atol=1e-7)
+
+
+def test_pallas_kernels_match_lax_scans():
+    """The Pallas token-sweep kernels (interpret mode) match the lax
+    scans they replace on TPU: live cells bit-close, dead cells both
+    below the NEG threshold, backpointers equal on live tokens."""
+    from aligner_tpu.ops.mobo import (NEG, _beta_scan, _boundary_scan,
+                                      _prep_energies)
+    from aligner_tpu.ops.mobo_pallas import (mobo_alpha_pallas,
+                                             mobo_beta_pallas,
+                                             mobo_bp_pallas)
+
+    rng = np.random.default_rng(29)
+    B, T_x, T_y, D = 4, 10, 30, 4
+    e = jnp.asarray(rng.standard_normal((B, T_y, T_x)).astype(np.float32))
+    t_x = jnp.array([10, 7, 3, 9])
+    t_y = jnp.array([30, 25, 12, 17])
+    e_tm = _prep_energies(e, t_x, t_y)
+
+    def check(got, want):
+        got, want = np.asarray(got), np.asarray(want)
+        live = want > 0.5 * NEG
+        np.testing.assert_allclose(got[live], want[live],
+                                   rtol=1e-6, atol=1e-5)
+        assert (got[~live] <= 0.5 * NEG).all()
+
+    logB, bps = _boundary_scan(e_tm, t_x, t_y, D, use_max=False)
+    check(mobo_alpha_pallas(e_tm, t_x, D, interpret=True), logB)
+    check(mobo_beta_pallas(e_tm, t_x, t_y, D, interpret=True),
+          _beta_scan(e_tm, t_x, t_y, D))
+    _, bps_max = _boundary_scan(e_tm, t_x, t_y, D, use_max=True)
+    got_bp = np.asarray(mobo_bp_pallas(e_tm, t_x, D, interpret=True))
+    want_bp = np.asarray(bps_max)
+    # backpointers only meaningful on live tokens (frozen tokens emit 0
+    # in the kernel, pass-through garbage in the scan)
+    for i in range(B):
+        np.testing.assert_array_equal(got_bp[:int(t_x[i]), i],
+                                      want_bp[:int(t_x[i]), i])
+
+
+def test_mobo_forward_stays_autodiff_safe(monkeypatch):
+    """mobo_forward is an autodiff surface (the reconstruction objective
+    differentiates through its posteriors), so it must never route
+    through the Pallas kernels — even when the backend dispatch would
+    pick them (regression: first on-chip run after blanket dispatch
+    crashed in jax.grad through pallas_call)."""
+    import aligner_tpu.ops.mobo as mobo_mod
+
+    monkeypatch.setattr(mobo_mod, "_use_pallas", lambda: True)
+    rng = np.random.default_rng(31)
+    B, T_x, T_y, D = 2, 6, 14, 4
+    e = jnp.asarray(rng.standard_normal((B, T_y, T_x)).astype(np.float32))
+    t_x = jnp.array([6, 4]); t_y = jnp.array([14, 9])
+    jaxpr = jax.make_jaxpr(
+        lambda e: mobo_mod.mobo_forward(e, t_x, t_y, D)["soft_alignment"])(e)
+    assert "pallas_call" not in str(jaxpr)
+    # and the custom-VJP loss DOES use them under the same dispatch
+    jaxpr_loss = jax.make_jaxpr(
+        lambda e: mobo_mod.mobo_log_marginal(e, t_x, t_y, D))(e)
+    assert "pallas_call" in str(jaxpr_loss)
