@@ -1220,6 +1220,230 @@ def mas_pallas_backtrack_nat(bits, t_x, t_y, *, interpret: bool = False,
     )(tx_b, ty_b, bits)
 
 
+def _forward_kernel_natv_multi(val_ref, bits_ref, carry_ref,
+                               *, max_neg_val: float = MAX_NEG_VAL):
+    """K-chain interleaved natural forward: like _forward_kernel_natv,
+    but each grid step advances K independent batch blocks' recurrences
+    frame by frame. The DP chain is latency-bound (~50 ns/frame
+    dependency latency vs ~3 ns/vreg of VPU work at 128 lanes, see
+    docs/design.md B=1 decomposition), so interleaving K independent
+    chains hides up to (K-1)/K of the latency at the same VMEM
+    footprint (each chain's tile is 1/K of the single-chain tile).
+
+    val block (K, bb, T_x, chunk) over value.reshape(K, B//K, ...) —
+    chain c owns batch rows [c*B//K, (c+1)*B//K), so the reshape and
+    the final bits reshape are both free (contiguous leading-dim
+    merges). bits block (chunk, K, bb, T_x); carry scratch
+    (K, bb, T_x)."""
+    k, Bb, T_x, chunk = val_ref.shape
+    i = pl.program_id(1)
+    x = jax.lax.broadcasted_iota(jnp.int32, (Bb, T_x), 1)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    def fwd(first_body):
+        vs = [jnp.transpose(val_ref[c], (2, 0, 1)) for c in range(k)]
+        ps = [carry_ref[c] for c in range(k)]
+        if first_body:
+            for j in range(chunk):
+                for c in range(k):
+                    bits, ps[c] = _fwd_step_full(ps[c], vs[c][j],
+                                                 i * chunk + j, x,
+                                                 max_neg_val)
+                    bits_ref[j, c] = bits
+        elif chunk % 2 == 0 and T_x >= 2:
+            for jj in range(chunk // 2):
+                j = 2 * jj
+                for c in range(k):
+                    bitsA, bitsB, ps[c] = _fwd_pair_fast(
+                        ps[c], vs[c][j], vs[c][j + 1], x, max_neg_val)
+                    bits_ref[j, c] = bitsA
+                    bits_ref[j + 1, c] = bitsB
+        else:
+            for j in range(chunk):
+                for c in range(k):
+                    bits, ps[c] = _fwd_step_fast(ps[c], vs[c][j], x,
+                                                 max_neg_val)
+                    bits_ref[j, c] = bits
+        for c in range(k):
+            carry_ref[c] = ps[c]
+
+    @pl.when(i * chunk < T_x)
+    def _():
+        fwd(True)
+
+    @pl.when(i * chunk >= T_x)
+    def _():
+        fwd(False)
+
+
+def mas_pallas_bits_nat_multi(value, *, chains: int = 2,
+                              interpret: bool = False,
+                              max_neg_val: float = MAX_NEG_VAL,
+                              _chunk: int | None = None,
+                              batch_block: int | None = None):
+    """K-chain interleaved natural forward sweep: [B, T_x, T_y] f32 ->
+    int8 decision bits time-major [T_y_pad, B, T_x] (identical layout
+    and values to mas_pallas_bits_nat). batch_block is the PER-CHAIN
+    tile; chains * batch_block rows are resident per grid step, so the
+    default per-chain budget is the single-chain budget / chains."""
+    B, T_x, T_y = value.shape
+    k = chains
+    if B % k:
+        raise ValueError(f"chains {k} must divide B = {B}")
+    pad = (-T_y) % (128 if T_y > 128 else 8)
+    if pad:
+        value = jnp.pad(value, ((0, 0), (0, 0), (0, pad)))
+    T_yp = T_y + pad
+    chunk = _chunk or (128 if T_yp % 128 == 0 else T_yp)
+    bb = batch_block or _nat_batch_block(B // k, T_x,
+                                         NAT_FWD_MAX_ELEMS // k)
+    if bb is None or (B // k) % bb:
+        raise ValueError(
+            f"no per-chain batch tile divides B/chains = {B}//{k} within "
+            f"the natural forward's VMEM budget at T_x = {T_x}")
+    v4 = value.astype(jnp.float32).reshape(k, B // k, T_x, T_yp)
+    bits4 = pl.pallas_call(
+        functools.partial(_forward_kernel_natv_multi,
+                          max_neg_val=max_neg_val),
+        grid=(B // k // bb, T_yp // chunk),
+        in_specs=[pl.BlockSpec((k, bb, T_x, chunk),
+                               lambda b, i: (0, b, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((chunk, k, bb, T_x),
+                               lambda b, i: (i, 0, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_yp, k, B // k, T_x), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((k, bb, T_x), jnp.float32)],
+        interpret=interpret,
+    )(v4)
+    return bits4.reshape(T_yp, B, T_x)
+
+
+def _bt_cmp_walk_multi(inds, bits_at, frame0, chunk, tys, T_x, Bb, x):
+    """K-chain interleaved compare-form walk: advances K independent
+    chains' indicator/packed-row carries per frame step (see
+    _bt_cmp_walk for the single-chain algebra). bits_at(j, c) reads
+    chain c's bit row for in-chunk frame j."""
+    k = len(inds)
+    xp1 = (x + 1).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, chunk), 1)
+
+    def pack(emit, j, acc):
+        v = jnp.sum(emit * xp1, axis=1, keepdims=True)
+        return acc + v * (lane == j).astype(jnp.float32)
+
+    def single_step(j, carry):
+        out = []
+        for c in range(k):
+            ind, acc = carry[c]
+            emit, new = _bt_step(ind, bits_at(j, c), frame0 + j,
+                                 tys[c], T_x)
+            out.append((new, pack(emit, j, acc)))
+        return tuple(out)
+
+    def pair_body(jj, carry):
+        j_hi = chunk - 1 - (chunk % 2) - 2 * jj
+        j_lo = j_hi - 1
+        out = []
+        for c in range(k):
+            ind, acc = carry[c]
+            p_hi, p_lo, new = _bt_pair(ind, bits_at(j_hi, c),
+                                       bits_at(j_lo, c),
+                                       frame0 + j_hi, tys[c], T_x)
+            out.append((new, pack(p_lo, j_lo, pack(p_hi, j_hi, acc))))
+        return tuple(out)
+
+    carry = tuple((inds[c], jnp.zeros((Bb, chunk), jnp.float32))
+                  for c in range(k))
+    if chunk % 2:
+        carry = single_step(chunk - 1, carry)
+    if T_x >= 2:
+        carry = jax.lax.fori_loop(0, chunk // 2, pair_body, carry,
+                                  unroll=True)
+    else:
+        carry = jax.lax.fori_loop(
+            0, chunk // 2,
+            lambda jj, c: single_step(
+                chunk - 1 - (chunk % 2) - 2 * jj - 1,
+                single_step(chunk - 1 - (chunk % 2) - 2 * jj, c)),
+            carry, unroll=True)
+    return carry
+
+
+def _backtrack_kernel_nat_cmp_multi(tx_ref, ty_ref, bits_ref, path_ref,
+                                    ind_ref):
+    """K-chain interleaved natural-output backtrack (compare form):
+    each grid step walks K independent batch blocks' reverse chains.
+    Same latency-hiding rationale as _forward_kernel_natv_multi."""
+    chunk, k, Bb, T_x = bits_ref.shape
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+    x = jax.lax.broadcasted_iota(jnp.int32, (Bb, T_x), 1)
+    txs = [tx_ref[c] for c in range(k)]
+    tys = [ty_ref[c] for c in range(k)]
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(k):
+            valid = (txs[c] >= 1) & (txs[c] <= tys[c])
+            ind_ref[c] = ((x == txs[c] - 1) & valid).astype(jnp.float32)
+
+    base = (n - 1 - i) * chunk
+    carry = _bt_cmp_walk_multi([ind_ref[c] for c in range(k)],
+                               lambda j, c: bits_ref[j, c], base, chunk,
+                               tys, T_x, Bb, x)
+    for c in range(k):
+        ind, acc = carry[c]
+        ind_ref[c] = ind
+        path_ref[c] = _cmp_emit(acc, Bb, T_x, chunk)
+
+
+def mas_pallas_backtrack_nat_multi(bits, t_x, t_y, *, chains: int = 2,
+                                   interpret: bool = False,
+                                   batch_block: int | None = None,
+                                   _chunk: int | None = None):
+    """K-chain interleaved natural-output backtrack: int8 bits
+    [T_yp, B, T_x] + lengths -> f32 path [B, T_x, T_yp] (identical to
+    mas_pallas_backtrack_nat form="cmp")."""
+    T_yp, B, T_x = bits.shape
+    k = chains
+    if B % k:
+        raise ValueError(f"chains {k} must divide B = {B}")
+    chunk = _chunk or (128 if T_yp % 128 == 0 else T_yp)
+    bb = batch_block or _nat_batch_block(B // k, T_x,
+                                         NAT_BT_CMP_MAX_ELEMS // k)
+    if bb is None or (B // k) % bb:
+        raise ValueError(f"no usable per-chain batch tile for B = {B}")
+    tx_b = jnp.broadcast_to(t_x.astype(jnp.int32)[:, None],
+                            (B, T_x)).reshape(k, B // k, T_x)
+    ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None],
+                            (B, T_x)).reshape(k, B // k, T_x)
+    len_spec = pl.BlockSpec((k, bb, T_x), lambda b, i: (0, b, 0),
+                            memory_space=pltpu.VMEM)
+    n = T_yp // chunk
+    path4 = pl.pallas_call(
+        _backtrack_kernel_nat_cmp_multi,
+        grid=(B // k // bb, n),
+        in_specs=[
+            len_spec, len_spec,
+            pl.BlockSpec((chunk, k, bb, T_x),
+                         lambda b, i: (n - 1 - i, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, bb, T_x, chunk),
+                               lambda b, i: (0, b, 0, n - 1 - i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, B // k, T_x, T_yp),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, bb, T_x), jnp.float32)],
+        interpret=interpret,
+    )(tx_b, ty_b, bits.reshape(T_yp, k, B // k, T_x))
+    return path4.reshape(B, T_x, T_yp)
+
+
 def mas_pallas_fused_tm(value_tm, t_x, t_y, *, interpret: bool = False,
                         max_neg_val: float = MAX_NEG_VAL,
                         quad: bool = False):

@@ -304,6 +304,41 @@ def test_natural_output_backtrack():
             np.testing.assert_array_equal(got, want)
 
 
+def test_natural_multi_chain_kernels():
+    """The K-chain interleaved natural forward/backtrack (latency-hiding
+    serving variants) must produce bit-identical bits and paths to the
+    single-chain route — including ragged lengths, an invalid item, and
+    an odd walk chunk."""
+    from aligner_tpu.ops.mas_pallas import (
+        mas_pallas_backtrack_nat, mas_pallas_backtrack_nat_multi,
+        mas_pallas_bits_nat, mas_pallas_bits_nat_multi)
+
+    rng = np.random.default_rng(64)
+    B, T_x, T_y = 8, 8, 40
+    value = (rng.standard_normal((B, T_x, T_y)) * 3).astype(np.float32)
+    t_xs = jnp.asarray(rng.integers(1, T_x + 1, B), jnp.int32)
+    t_ys = jnp.asarray(np.maximum(np.asarray(t_xs),
+                                  rng.integers(T_y // 2, T_y + 1, B)),
+                       jnp.int32)
+    t_xs = t_xs.at[1].set(T_x)  # invalid item: t_x > t_y
+    t_ys = t_ys.at[1].set(2)
+    bits1 = np.asarray(mas_pallas_bits_nat(jnp.asarray(value),
+                                           interpret=True, _chunk=8))
+    want = np.asarray(mas_pallas_backtrack_nat(
+        jnp.asarray(bits1), t_xs, t_ys, interpret=True,
+        _chunk=8))[:, :, :T_y].astype(np.int32)
+    assert not want[1].any()
+    for k in (2, 4):
+        bits = mas_pallas_bits_nat_multi(jnp.asarray(value), chains=k,
+                                         interpret=True, _chunk=8)
+        np.testing.assert_array_equal(np.asarray(bits), bits1)
+        for chunk in (8, 5):  # chunk 5: odd walk prologue
+            got = np.asarray(mas_pallas_backtrack_nat_multi(
+                bits, t_xs, t_ys, chains=k, interpret=True,
+                _chunk=chunk))[:, :, :T_y].astype(np.int32)
+            np.testing.assert_array_equal(got, want)
+
+
 def test_nat_fused_tiled():
     """Single-launch natural-in/natural-out pipeline (bits in VMEM) is
     bit-identical to the reference oracle across batch tiles, odd
