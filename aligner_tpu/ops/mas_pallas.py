@@ -689,7 +689,8 @@ def mas_pallas_fused_nat(value, t_x, t_y, *, interpret: bool = False,
 
 
 def _forward_kernel_natv(val_ref, bits_ref, carry_ref,
-                         *, max_neg_val: float = MAX_NEG_VAL):
+                         *, max_neg_val: float = MAX_NEG_VAL,
+                         quad: bool = False):
     """Natural-input forward sweep for the two-kernel pipeline: value
     blocks arrive in the reference's [Bb, T_x, chunk] layout, are
     transposed in-kernel, and the decision bits stream to HBM time-major
@@ -721,6 +722,16 @@ def _forward_kernel_natv(val_ref, bits_ref, carry_ref,
                 bits, prev = _fwd_step_full(prev, vt[j], i * chunk + j, x,
                                             max_neg_val)
                 bits_ref[j] = bits
+        elif quad and chunk % 4 == 0 and T_x >= 2:
+            for jj in range(chunk // 4):
+                j = 4 * jj
+                b1, b2, b3, b4, prev = _fwd_quad_fast(
+                    prev, vt[j], vt[j + 1], vt[j + 2], vt[j + 3], x,
+                    max_neg_val)
+                bits_ref[j] = b1
+                bits_ref[j + 1] = b2
+                bits_ref[j + 2] = b3
+                bits_ref[j + 3] = b4
         elif chunk % 2 == 0 and T_x >= 2:
             for jj in range(chunk // 2):
                 j = 2 * jj
@@ -767,7 +778,8 @@ def _nat_batch_block(B: int, T_x: int,
 def mas_pallas_bits_nat(value, *, interpret: bool = False,
                         max_neg_val: float = MAX_NEG_VAL,
                         _chunk: int | None = None,
-                        batch_block: int | None = None):
+                        batch_block: int | None = None,
+                        quad: bool = False):
     """Forward sweep over a natural-layout [B, T_x, T_y] lattice ->
     int8 decision bits time-major [T_y_pad, B, T_x] (T_y padded to a
     multiple of 128, or of 8 when T_y <= 128). batch_block: batch tile
@@ -787,7 +799,8 @@ def mas_pallas_bits_nat(value, *, interpret: bool = False,
     if B % bb:
         raise ValueError(f"batch_block {bb} must divide B = {B}")
     return pl.pallas_call(
-        functools.partial(_forward_kernel_natv, max_neg_val=max_neg_val),
+        functools.partial(_forward_kernel_natv, max_neg_val=max_neg_val,
+                          quad=quad),
         grid=(B // bb, T_yp // chunk),
         in_specs=[pl.BlockSpec((bb, T_x, chunk), lambda b, i: (b, 0, i),
                                memory_space=pltpu.VMEM)],
@@ -877,7 +890,7 @@ def _fused_kernel_nat_tiled(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
     def _():
         ind, acc = _bt_cmp_walk(state_ref[:],
                                 lambda j: bits_ref[base_b + j], base_b,
-                                chunk, ty, T_x, Bb, x)
+                                chunk, ty, T_x, Bb, x, quad=quad)
         state_ref[:] = ind
         path_ref[:] = _cmp_emit(acc, Bb, T_x, chunk)
 
@@ -1073,7 +1086,8 @@ def _backtrack_kernel_nat(tx_ref, ty_ref, bits_ref, path_ref, buf_ref,
         jnp.transpose(buf_ref[:], (1, 0, 2)), (0, 2, 1))
 
 
-def _bt_cmp_walk(ind, bits_at, frame0, chunk, ty, T_x, Bb, x):
+def _bt_cmp_walk(ind, bits_at, frame0, chunk, ty, T_x, Bb, x,
+                 quad: bool = False):
     """Compare-form chunk walk shared by the standalone natural-output
     backtrack and the fused natural pipeline: walk `chunk` frames
     top-down, packing each frame's emitted token index into one lane of
@@ -1103,7 +1117,21 @@ def _bt_cmp_walk(ind, bits_at, frame0, chunk, ty, T_x, Bb, x):
                                    frame0 + j_hi, ty, T_x)
         return new, pack(p_lo, j_lo, pack(p_hi, j_hi, acc))
 
+    def quad_body(jj, carry):
+        ind, acc = carry
+        j_hi = chunk - 1 - 4 * jj
+        p4, p3, p2, p1, new = _bt_quad(
+            ind, bits_at(j_hi), bits_at(j_hi - 1), bits_at(j_hi - 2),
+            bits_at(j_hi - 3), frame0 + j_hi, ty, T_x)
+        acc = pack(p1, j_hi - 3,
+                   pack(p2, j_hi - 2,
+                        pack(p3, j_hi - 1, pack(p4, j_hi, acc))))
+        return new, acc
+
     carry = (ind, jnp.zeros((Bb, chunk), jnp.float32))
+    if quad and chunk % 4 == 0 and T_x >= 2:
+        return jax.lax.fori_loop(0, chunk // 4, quad_body, carry,
+                                 unroll=True)
     if chunk % 2:
         carry = single_step(chunk - 1, carry)
     if T_x >= 2:
@@ -1128,7 +1156,7 @@ def _cmp_emit(acc, Bb, T_x, chunk):
 
 
 def _backtrack_kernel_nat_cmp(tx_ref, ty_ref, bits_ref, path_ref,
-                              ind_ref):
+                              ind_ref, *, quad: bool = False):
     """Natural-output backtrack, compare form: the packed-index walk
     (_bt_cmp_walk) plus ONE broadcast compare producing the whole
     [Bb, T_x, chunk] output block. No staging buffer, no in-kernel
@@ -1152,7 +1180,7 @@ def _backtrack_kernel_nat_cmp(tx_ref, ty_ref, bits_ref, path_ref,
 
     base = (n - 1 - i) * chunk
     ind, acc = _bt_cmp_walk(ind_ref[:], lambda j: bits_ref[j], base,
-                            chunk, ty, T_x, Bb, x)
+                            chunk, ty, T_x, Bb, x, quad=quad)
     ind_ref[:] = ind
     path_ref[:] = _cmp_emit(acc, Bb, T_x, chunk)
 
@@ -1174,7 +1202,7 @@ def nat_bt_budget(form: str = "cmp") -> int:
 def mas_pallas_backtrack_nat(bits, t_x, t_y, *, interpret: bool = False,
                              batch_block: int | None = None,
                              _chunk: int | None = None,
-                             form: str = "cmp"):
+                             form: str = "cmp", quad: bool = False):
     """Reverse walk emitting the path in the reference's natural layout:
     int8 bits [T_yp, B, T_x] + lengths -> f32 path [B, T_x, T_yp].
     Requires T_x % 8 == 0 (Mosaic sublane rule for the output block) and
@@ -1198,7 +1226,7 @@ def mas_pallas_backtrack_nat(bits, t_x, t_y, *, interpret: bool = False,
     n = T_yp // chunk
     rev = lambda b, i: (n - 1 - i, b, 0)
     if form == "cmp":
-        kernel = _backtrack_kernel_nat_cmp
+        kernel = functools.partial(_backtrack_kernel_nat_cmp, quad=quad)
         scratch = [pltpu.VMEM((bb, T_x), jnp.float32)]
     else:
         kernel = _backtrack_kernel_nat
@@ -1221,7 +1249,8 @@ def mas_pallas_backtrack_nat(bits, t_x, t_y, *, interpret: bool = False,
 
 
 def _forward_kernel_natv_multi(val_ref, bits_ref, carry_ref,
-                               *, max_neg_val: float = MAX_NEG_VAL):
+                               *, max_neg_val: float = MAX_NEG_VAL,
+                               quad: bool = False):
     """K-chain interleaved natural forward: like _forward_kernel_natv,
     but each grid step advances K independent batch blocks' recurrences
     frame by frame. The DP chain is latency-bound (~50 ns/frame
@@ -1253,6 +1282,17 @@ def _forward_kernel_natv_multi(val_ref, bits_ref, carry_ref,
                                                  i * chunk + j, x,
                                                  max_neg_val)
                     bits_ref[j, c] = bits
+        elif quad and chunk % 4 == 0 and T_x >= 2:
+            for jj in range(chunk // 4):
+                j = 4 * jj
+                for c in range(k):
+                    b1, b2, b3, b4, ps[c] = _fwd_quad_fast(
+                        ps[c], vs[c][j], vs[c][j + 1], vs[c][j + 2],
+                        vs[c][j + 3], x, max_neg_val)
+                    bits_ref[j, c] = b1
+                    bits_ref[j + 1, c] = b2
+                    bits_ref[j + 2, c] = b3
+                    bits_ref[j + 3, c] = b4
         elif chunk % 2 == 0 and T_x >= 2:
             for jj in range(chunk // 2):
                 j = 2 * jj
@@ -1283,7 +1323,8 @@ def mas_pallas_bits_nat_multi(value, *, chains: int = 2,
                               interpret: bool = False,
                               max_neg_val: float = MAX_NEG_VAL,
                               _chunk: int | None = None,
-                              batch_block: int | None = None):
+                              batch_block: int | None = None,
+                              quad: bool = False):
     """K-chain interleaved natural forward sweep: [B, T_x, T_y] f32 ->
     int8 decision bits time-major [T_y_pad, B, T_x] (identical layout
     and values to mas_pallas_bits_nat). batch_block is the PER-CHAIN
@@ -1307,7 +1348,7 @@ def mas_pallas_bits_nat_multi(value, *, chains: int = 2,
     v4 = value.astype(jnp.float32).reshape(k, B // k, T_x, T_yp)
     bits4 = pl.pallas_call(
         functools.partial(_forward_kernel_natv_multi,
-                          max_neg_val=max_neg_val),
+                          max_neg_val=max_neg_val, quad=quad),
         grid=(B // k // bb, T_yp // chunk),
         in_specs=[pl.BlockSpec((k, bb, T_x, chunk),
                                lambda b, i: (0, b, 0, i),
@@ -1322,7 +1363,8 @@ def mas_pallas_bits_nat_multi(value, *, chains: int = 2,
     return bits4.reshape(T_yp, B, T_x)
 
 
-def _bt_cmp_walk_multi(inds, bits_at, frame0, chunk, tys, T_x, Bb, x):
+def _bt_cmp_walk_multi(inds, bits_at, frame0, chunk, tys, T_x, Bb, x,
+                       quad: bool = False):
     """K-chain interleaved compare-form walk: advances K independent
     chains' indicator/packed-row carries per frame step (see
     _bt_cmp_walk for the single-chain algebra). bits_at(j, c) reads
@@ -1356,8 +1398,26 @@ def _bt_cmp_walk_multi(inds, bits_at, frame0, chunk, tys, T_x, Bb, x):
             out.append((new, pack(p_lo, j_lo, pack(p_hi, j_hi, acc))))
         return tuple(out)
 
+    def quad_body(jj, carry):
+        j_hi = chunk - 1 - 4 * jj
+        out = []
+        for c in range(k):
+            ind, acc = carry[c]
+            p4, p3, p2, p1, new = _bt_quad(
+                ind, bits_at(j_hi, c), bits_at(j_hi - 1, c),
+                bits_at(j_hi - 2, c), bits_at(j_hi - 3, c),
+                frame0 + j_hi, tys[c], T_x)
+            acc = pack(p1, j_hi - 3,
+                       pack(p2, j_hi - 2,
+                            pack(p3, j_hi - 1, pack(p4, j_hi, acc))))
+            out.append((new, acc))
+        return tuple(out)
+
     carry = tuple((inds[c], jnp.zeros((Bb, chunk), jnp.float32))
                   for c in range(k))
+    if quad and chunk % 4 == 0 and T_x >= 2:
+        return jax.lax.fori_loop(0, chunk // 4, quad_body, carry,
+                                 unroll=True)
     if chunk % 2:
         carry = single_step(chunk - 1, carry)
     if T_x >= 2:
@@ -1374,7 +1434,7 @@ def _bt_cmp_walk_multi(inds, bits_at, frame0, chunk, tys, T_x, Bb, x):
 
 
 def _backtrack_kernel_nat_cmp_multi(tx_ref, ty_ref, bits_ref, path_ref,
-                                    ind_ref):
+                                    ind_ref, *, quad: bool = False):
     """K-chain interleaved natural-output backtrack (compare form):
     each grid step walks K independent batch blocks' reverse chains.
     Same latency-hiding rationale as _forward_kernel_natv_multi."""
@@ -1394,7 +1454,7 @@ def _backtrack_kernel_nat_cmp_multi(tx_ref, ty_ref, bits_ref, path_ref,
     base = (n - 1 - i) * chunk
     carry = _bt_cmp_walk_multi([ind_ref[c] for c in range(k)],
                                lambda j, c: bits_ref[j, c], base, chunk,
-                               tys, T_x, Bb, x)
+                               tys, T_x, Bb, x, quad=quad)
     for c in range(k):
         ind, acc = carry[c]
         ind_ref[c] = ind
@@ -1404,7 +1464,8 @@ def _backtrack_kernel_nat_cmp_multi(tx_ref, ty_ref, bits_ref, path_ref,
 def mas_pallas_backtrack_nat_multi(bits, t_x, t_y, *, chains: int = 2,
                                    interpret: bool = False,
                                    batch_block: int | None = None,
-                                   _chunk: int | None = None):
+                                   _chunk: int | None = None,
+                                   quad: bool = False):
     """K-chain interleaved natural-output backtrack: int8 bits
     [T_yp, B, T_x] + lengths -> f32 path [B, T_x, T_yp] (identical to
     mas_pallas_backtrack_nat form="cmp")."""
@@ -1425,7 +1486,7 @@ def mas_pallas_backtrack_nat_multi(bits, t_x, t_y, *, chains: int = 2,
                             memory_space=pltpu.VMEM)
     n = T_yp // chunk
     path4 = pl.pallas_call(
-        _backtrack_kernel_nat_cmp_multi,
+        functools.partial(_backtrack_kernel_nat_cmp_multi, quad=quad),
         grid=(B // k // bb, n),
         in_specs=[
             len_spec, len_spec,

@@ -87,35 +87,50 @@ def main():
             print(f"bt  bb={bb:3d} chunk={chunk:3d}: FAILED "
                   f"{type(e).__name__}: {str(e)[:160]}")
 
-    # ---- K-chain interleaved variants (latency hiding at the same
-    # VMEM footprint; see _forward_kernel_natv_multi) ----
-    for k in (2, 4):
-        try:
-            fwd = jax.jit(lambda v, k=k: mp.mas_pallas_bits_nat_multi(
-                v, chains=k))
-            bits = jax.block_until_ready(fwd(value))
-            fwd_ok = (bits_ref is not None
-                      and np.array_equal(np.asarray(bits), bits_ref))
-            fwd_ms = measure_device_time(lambda: fwd(value)) * 1e3
-            print(f"fwd chains={k}: {fwd_ms:.3f} ms bits-equal={fwd_ok}")
-        except Exception as e:  # noqa: BLE001
-            print(f"fwd chains={k}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:160]}")
-            continue
-        try:
-            bt = jax.jit(lambda b, x, y, k=k:
-                         mp.mas_pallas_backtrack_nat_multi(
-                             b, x, y, chains=k))
-            out = np.asarray(
-                jax.block_until_ready(bt(bits, t_x, t_y)))[:, :, :T_y]
-            bt_ok = np.array_equal(out.astype(np.int32), want)
-            bt_ms = measure_device_time(lambda: bt(bits, t_x, t_y)) * 1e3
-            print(f"bt  chains={k}: {bt_ms:.3f} ms bitexact={bt_ok}  "
-                  f"e2e={fwd_ms + bt_ms:.3f} ms "
-                  f"({B / (fwd_ms + bt_ms) * 1e3:,.0f} paths/s)")
-        except Exception as e:  # noqa: BLE001
-            print(f"bt  chains={k}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:160]}")
+    # ---- quad composition and K-chain interleaving (latency hiding at
+    # the same VMEM footprint; see _forward_kernel_natv_multi) ----
+    for k in (1, 2, 4):
+        for quad in (False, True):
+            if k == 1 and not quad:
+                continue  # == the (64, 128) baseline row above
+            tag = f"chains={k} quad={int(quad)}"
+            try:
+                if k == 1:
+                    fwd = jax.jit(lambda v, q=quad:
+                                  mp.mas_pallas_bits_nat(v, quad=q))
+                else:
+                    fwd = jax.jit(lambda v, k=k, q=quad:
+                                  mp.mas_pallas_bits_nat_multi(
+                                      v, chains=k, quad=q))
+                bits = jax.block_until_ready(fwd(value))
+                fwd_ok = (bits_ref is not None
+                          and np.array_equal(np.asarray(bits), bits_ref))
+                fwd_ms = measure_device_time(lambda: fwd(value)) * 1e3
+                print(f"fwd {tag}: {fwd_ms:.3f} ms bits-equal={fwd_ok}")
+            except Exception as e:  # noqa: BLE001
+                print(f"fwd {tag}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:160]}")
+                continue
+            try:
+                if k == 1:
+                    bt = jax.jit(lambda b, x, y, q=quad:
+                                 mp.mas_pallas_backtrack_nat(
+                                     b, x, y, quad=q))
+                else:
+                    bt = jax.jit(lambda b, x, y, k=k, q=quad:
+                                 mp.mas_pallas_backtrack_nat_multi(
+                                     b, x, y, chains=k, quad=q))
+                out = np.asarray(
+                    jax.block_until_ready(bt(bits, t_x, t_y)))[:, :, :T_y]
+                bt_ok = np.array_equal(out.astype(np.int32), want)
+                bt_ms = measure_device_time(
+                    lambda: bt(bits, t_x, t_y)) * 1e3
+                print(f"bt  {tag}: {bt_ms:.3f} ms bitexact={bt_ok}  "
+                      f"e2e={fwd_ms + bt_ms:.3f} ms "
+                      f"({B / (fwd_ms + bt_ms) * 1e3:,.0f} paths/s)")
+            except Exception as e:  # noqa: BLE001
+                print(f"bt  {tag}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:160]}")
 
 
 if __name__ == "__main__":

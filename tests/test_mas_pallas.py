@@ -329,14 +329,24 @@ def test_natural_multi_chain_kernels():
         _chunk=8))[:, :, :T_y].astype(np.int32)
     assert not want[1].any()
     for k in (2, 4):
-        bits = mas_pallas_bits_nat_multi(jnp.asarray(value), chains=k,
-                                         interpret=True, _chunk=8)
-        np.testing.assert_array_equal(np.asarray(bits), bits1)
-        for chunk in (8, 5):  # chunk 5: odd walk prologue
-            got = np.asarray(mas_pallas_backtrack_nat_multi(
-                bits, t_xs, t_ys, chains=k, interpret=True,
-                _chunk=chunk))[:, :, :T_y].astype(np.int32)
-            np.testing.assert_array_equal(got, want)
+        for q in (False, True):
+            bits = mas_pallas_bits_nat_multi(jnp.asarray(value), chains=k,
+                                             interpret=True, _chunk=8,
+                                             quad=q)
+            np.testing.assert_array_equal(np.asarray(bits), bits1)
+            for chunk in (8, 5):  # chunk 5: odd walk prologue
+                got = np.asarray(mas_pallas_backtrack_nat_multi(
+                    bits, t_xs, t_ys, chains=k, interpret=True,
+                    _chunk=chunk, quad=q))[:, :, :T_y].astype(np.int32)
+                np.testing.assert_array_equal(got, want)
+    # single-chain quad variants of the natural two-kernel route
+    bits_q = mas_pallas_bits_nat(jnp.asarray(value), interpret=True,
+                                 _chunk=8, quad=True)
+    np.testing.assert_array_equal(np.asarray(bits_q), bits1)
+    got = np.asarray(mas_pallas_backtrack_nat(
+        jnp.asarray(bits1), t_xs, t_ys, interpret=True, _chunk=8,
+        quad=True))[:, :, :T_y].astype(np.int32)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_nat_fused_tiled():
