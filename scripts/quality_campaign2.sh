@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-3 pause-quality confirmation campaign (run on the attached TPU
+# chip): the step-count scaling study (run first on the CPU backend —
+# quality metrics are device-agnostic f32 math) found the default
+# recipe crosses the flagship bar with more training:
+#
+#   steps   token-boundary F1@2 (seeds 0-4)       pause MAE
+#   3000    0.941-0.958 (seeds 0/1/2)             0.48-0.72
+#   5000    0.947-0.966 (5 seeds; only seed 3 <0.95)  0.34-0.61
+#   7000    >= 0.961 on the weakest seed           <= 0.37
+#
+# This script confirms the 5000- and 7000-step rows on the TPU and the
+# 5000-step hard-corpus row; one JSON line per run appended to $OUT.
+#   bash scripts/quality_campaign2.sh [outfile]
+set -u
+OUT=${1:-/tmp/quality_campaign2.jsonl}
+: > "$OUT"
+run() {
+  echo "### $*" | tee -a "$OUT"
+  timeout 3000 python -m aligner_tpu "$@" 2>/dev/null | tail -1 | tee -a "$OUT"
+}
+
+for s in 0 1 2; do
+  run demo-pauses --steps 5000 --seed "$s" --skip-blind
+done
+for s in 0 1 2 3; do
+  run demo-pauses --steps 7000 --seed "$s" --skip-blind
+done
+for s in 0 1; do
+  run demo-pauses --steps 5000 --hard --seed "$s" --skip-blind
+done
+echo "campaign done" | tee -a "$OUT"
