@@ -394,7 +394,7 @@ def cmd_demo_romo(args):
     import optax
 
     from .data import (SyntheticConfig, duration_accuracy, make_corpus,
-                       pad_batch)
+                       pad_batch, prototypes)
     from .models import RoMoAligner, RoMoConfig
     from .utils.eval import boundary_f1
 
@@ -408,6 +408,8 @@ def cmd_demo_romo(args):
     corpus = make_corpus(args.batch_size, cfg)
     batch = pad_batch(corpus)
     b = {k: jnp.asarray(v) for k, v in batch.items()}
+    protos = jnp.asarray(prototypes(cfg))
+    T_y = b["mel"].shape[1]
 
     model = RoMoAligner(RoMoConfig(
         vocab_size=cfg.vocab_size, n_mels=cfg.n_mels, dim=64, hidden=96,
@@ -424,7 +426,22 @@ def cmd_demo_romo(args):
             out = model.apply({"params": p}, b["tokens"], b["mel"],
                               b["text_lengths"], b["mel_lengths"],
                               compute_hard=False)
-            return out["loss"]
+            # Reconstruction through the REFINEMENT posteriors (the same
+            # objective that gives demo-mobo its quality): the marginal
+            # NLLs alone only shape energies — within the anchor window
+            # the refined boundaries are otherwise unpinned, and the
+            # refined stage measured WORSE than its rough anchors
+            # (F1 0.66-0.67 vs 0.89 at 600 steps) until this term.
+            # Infeasible items (sentinel posteriors) are gated out.
+            tok_feats = protos[b["tokens"]]
+            recon = jnp.einsum("byx,bxd->byd", out["soft_alignment"],
+                               tok_feats)
+            m = ((jnp.arange(T_y)[None, :, None]
+                  < b["mel_lengths"][:, None, None])
+                 & out["refine_feasible"][:, None, None])
+            rec = (jnp.sum(jnp.where(m, (recon - b["mel"]) ** 2, 0.0))
+                   / jnp.maximum(m.sum(), 1) / cfg.n_mels)
+            return rec + 0.1 * out["loss"]
         l, g = jax.value_and_grad(loss_fn)(params)
         u, opt = tx.update(g, opt)
         return optax.apply_updates(params, u), opt, l
@@ -432,7 +449,7 @@ def cmd_demo_romo(args):
     for i in range(args.steps):
         params, opt, l = train1(params, opt)
         if i % 100 == 0:
-            print(f"step {i:5d}  rough+refine {float(l):.4f}")
+            print(f"step {i:5d}  recon+rough+refine {float(l):.4f}")
     out = model.apply({"params": params}, b["tokens"], b["mel"],
                       b["text_lengths"], b["mel_lengths"])
 
