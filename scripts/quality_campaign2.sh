@@ -29,4 +29,11 @@ done
 for s in 0 1; do
   run demo-pauses --steps 5000 --hard --seed "$s" --skip-blind
 done
+# RoMo family (refinement pinned by the reconstruction objective):
+# CPU preview at 600 steps gave refined F1 0.984-0.996 vs rough
+# 0.88-0.91 (seeds 0/1); confirm on chip incl. the hard corpus.
+for s in 0 1; do
+  run demo-romo --steps 600 --seed "$s"
+done
+run demo-romo --steps 600 --hard --seed 0
 echo "campaign done" | tee -a "$OUT"
