@@ -36,4 +36,8 @@ for s in 0 1; do
   run demo-romo --steps 600 --seed "$s"
 done
 run demo-romo --steps 600 --hard --seed 0
+# Long-utterance rows (~4x the default utterance length):
+run demo-ota --steps 2000 --recon --temperature 0.15 --max-tokens 64 --seed 0
+run demo-mobo --steps 300 --max-tokens 64 --seed 0
+run demo-pauses --steps 5000 --max-tokens 48 --seed 0 --skip-blind
 echo "campaign done" | tee -a "$OUT"
