@@ -41,7 +41,37 @@ def device_time_from_trace(trace_dir: str, name_prefix: str):
     return float(np.mean(cands[name]))
 
 
+def _require_device(timeout_s: float = 900.0):
+    """Fail fast with a well-formed JSON line if the axon tunnel is in a
+    full outage (backend init hangs indefinitely; observed multi-hour).
+    A generous timeout so a wedged-but-draining compile queue (~30 min
+    worst observed) is not misreported as an outage."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in result:
+        return
+    err = result.get("error",
+                     f"TPU backend init exceeded {timeout_s:.0f}s "
+                     f"(axon tunnel outage)")
+    print(json.dumps({"metric": "mas_paths_per_sec_per_chip",
+                      "value": 0.0, "unit": "paths/s",
+                      "vs_baseline": 0.0, "error": err}))
+    sys.exit(1)
+
+
 def main():
+    _require_device()
     from aligner_tpu.ops.mas_pallas import mas_pallas
 
     rng = np.random.default_rng(0)
