@@ -40,6 +40,24 @@ def _common(p):
                         "(longer utterances)")
 
 
+def _recon_mse(soft_alignment, protos, b, n_mels, feasible=None):
+    """Per-frame mel reconstruction MSE through alignment posteriors —
+    the auxiliary that pins boundaries in the MoBo-family demos
+    (marginal NLLs alone only shape energies; docs/design.md).
+    `feasible` ([B] bool) gates items whose posteriors are sentinels
+    (RoMo: no boundary sequence fits the refinement window)."""
+    import jax.numpy as jnp
+    T_y = b["mel"].shape[1]
+    recon = jnp.einsum("byx,bxd->byd", soft_alignment,
+                       protos[b["tokens"]])
+    m = (jnp.arange(T_y)[None, :, None]
+         < b["mel_lengths"][:, None, None])
+    if feasible is not None:
+        m = m & feasible[:, None, None]
+    return (jnp.sum(jnp.where(m, (recon - b["mel"]) ** 2, 0.0))
+            / jnp.maximum(m.sum(), 1) / n_mels)
+
+
 def _init_seed(args):
     return args.seed if args.init_seed is None else args.init_seed
 
@@ -340,7 +358,6 @@ def cmd_demo_mobo(args):
                         b["mel_lengths"])["params"]
     tx = optax.adam(args.lr * 3)
     opt = tx.init(params)
-    T_y = b["mel"].shape[1]
 
     @jax.jit
     def train1(params, opt):
@@ -348,13 +365,8 @@ def cmd_demo_mobo(args):
             out = model.apply({"params": p}, b["tokens"], b["mel"],
                               b["text_lengths"], b["mel_lengths"],
                               compute_hard=False)
-            tok_feats = protos[b["tokens"]]
-            recon = jnp.einsum("byx,bxd->byd", out["soft_alignment"],
-                               tok_feats)
-            mask = (jnp.arange(T_y)[None, :, None]
-                    < b["mel_lengths"][:, None, None])
-            rec = (jnp.sum(jnp.where(mask, (recon - b["mel"]) ** 2, 0.0))
-                   / mask.sum() / cfg.n_mels)
+            rec = _recon_mse(out["soft_alignment"], protos, b,
+                             cfg.n_mels)
             return rec + 0.1 * out["loss_mobo"]
         l, g = jax.value_and_grad(loss_fn)(params)
         u, opt = tx.update(g, opt)
@@ -409,7 +421,6 @@ def cmd_demo_romo(args):
     batch = pad_batch(corpus)
     b = {k: jnp.asarray(v) for k, v in batch.items()}
     protos = jnp.asarray(prototypes(cfg))
-    T_y = b["mel"].shape[1]
 
     model = RoMoAligner(RoMoConfig(
         vocab_size=cfg.vocab_size, n_mels=cfg.n_mels, dim=64, hidden=96,
@@ -432,15 +443,9 @@ def cmd_demo_romo(args):
             # the refined boundaries are otherwise unpinned, and the
             # refined stage measured WORSE than its rough anchors
             # (F1 0.66-0.67 vs 0.89 at 600 steps) until this term.
-            # Infeasible items (sentinel posteriors) are gated out.
-            tok_feats = protos[b["tokens"]]
-            recon = jnp.einsum("byx,bxd->byd", out["soft_alignment"],
-                               tok_feats)
-            m = ((jnp.arange(T_y)[None, :, None]
-                  < b["mel_lengths"][:, None, None])
-                 & out["refine_feasible"][:, None, None])
-            rec = (jnp.sum(jnp.where(m, (recon - b["mel"]) ** 2, 0.0))
-                   / jnp.maximum(m.sum(), 1) / cfg.n_mels)
+            rec = _recon_mse(out["soft_alignment"], protos, b,
+                             cfg.n_mels,
+                             feasible=out["refine_feasible"])
             return rec + 0.1 * out["loss"]
         l, g = jax.value_and_grad(loss_fn)(params)
         u, opt = tx.update(g, opt)

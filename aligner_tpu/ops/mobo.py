@@ -92,13 +92,28 @@ def _prep_energies(energies, t_x, t_y):
     return jnp.concatenate([pad, e], axis=2)  # [T_x, B, T_y+1]
 
 
-def _use_pallas() -> bool:
+# Per-grid-step VMEM footprint of the token-sweep kernels: the
+# double-buffered f32 value and output blocks (chunk = 8 token rows
+# each), the carry and the broadcast length rows come to ~136 bytes per
+# [B, T_y1_padded] element; 90K elements keeps the step within the
+# ~12 MB scoped-VMEM budget the MAS kernels also use (e.g. config 4
+# B=16 x 1152 = 18K; B=64 x 1152 = 74K fits, B=128 falls back).
+MOBO_PALLAS_MAX_ELEMS = 90_000
+
+
+def _use_pallas(B: int, T_y1: int) -> bool:
     """Route the sequential token sweeps to the Pallas kernels on TPU
     (measured 2.14x over the fused XLA scan at config 4 —
     scripts/mobo_pallas_proto.py, docs/design.md); the lax scans below
     remain the CPU/interpret oracle, mirroring the MAS kernel/oracle
-    split."""
-    return jax.default_backend() in ("tpu", "axon")
+    split. Shapes whose whole-batch [B, T_y1] rows exceed the VMEM
+    budget fall back to the lax scans (the sweeps are token-sequential,
+    so batch tiling would multiply the serial chain — not worth it for
+    the rare huge-batch MoBo loss call)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    pad = (-T_y1) % (128 if T_y1 > 128 else 8)
+    return B * (T_y1 + pad) <= MOBO_PALLAS_MAX_ELEMS
 
 
 def _boundary_scan(e_tm, t_x, t_y, D, use_max: bool):
@@ -196,7 +211,7 @@ def _alpha(e_tm, t_x, t_y, D):
     kernels) and the stop-gradient hard mode. `mobo_forward` keeps the
     lax scans — its posteriors/soft alignment ARE an autodiff surface
     (the MoBo reconstruction objective differentiates through gamma)."""
-    if _use_pallas():
+    if _use_pallas(e_tm.shape[1], e_tm.shape[2]):
         from .mobo_pallas import mobo_alpha_pallas
         return mobo_alpha_pallas(e_tm, t_x, D)
     return _boundary_scan(e_tm, t_x, t_y, D, use_max=False)[0]
@@ -204,7 +219,7 @@ def _alpha(e_tm, t_x, t_y, D):
 
 def _beta(e_tm, t_x, t_y, D):
     """beta stack via the Pallas kernel on TPU (see _alpha's AD note)."""
-    if _use_pallas():
+    if _use_pallas(e_tm.shape[1], e_tm.shape[2]):
         from .mobo_pallas import mobo_beta_pallas
         return mobo_beta_pallas(e_tm, t_x, t_y, D)
     return _beta_scan(e_tm, t_x, t_y, D)
@@ -308,7 +323,7 @@ def mobo_hard_boundaries(energies, t_x, t_y, max_duration: int):
     path [B, T_y, T_x] float32 0/1)."""
     B, T_y, T_x = energies.shape
     e_tm = _prep_energies(energies, t_x, t_y)
-    if _use_pallas():
+    if _use_pallas(B, T_y + 1):
         from .mobo_pallas import mobo_bp_pallas
         bps = mobo_bp_pallas(e_tm, t_x, max_duration)
     else:

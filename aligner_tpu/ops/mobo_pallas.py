@@ -34,44 +34,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG = -1e15
-
-
-def _shift_b(v, d: int):
-    """out[..., t] = v[..., t-d], NEG fill (ops.mobo._sb in-kernel)."""
-    return jnp.concatenate(
-        [jnp.full_like(v[..., :d], NEG), v[..., :-d]], axis=-1)
-
-
-def _shift_f(v, d: int):
-    """out[..., t] = v[..., t+d], NEG fill."""
-    return jnp.concatenate(
-        [v[..., d:], jnp.full_like(v[..., :d], NEG)], axis=-1)
-
-
-def _window_lse(arr, D: int, shift):
-    """logsumexp_{d=1..D} arr(t -/+ d) as the same max/sum accumulation
-    as ops.mobo._window_lse (keep the operation order identical so live
-    cells match the lax scan bit-for-bit)."""
-    m = shift(arr, 1)
-    for d in range(2, D + 1):
-        m = jnp.maximum(m, shift(arr, d))
-    s = jnp.zeros_like(arr)
-    for d in range(1, D + 1):
-        s = s + jnp.exp(shift(arr, d) - m)
-    return m + jnp.log(s)
-
-
-def _window_max_argmax_back(arr, D: int):
-    """(max, argmax-d) over d = 1..D of arr(t - d) — ops.mobo order."""
-    m = _shift_b(arr, 1)
-    bp = jnp.ones(arr.shape, jnp.int32)
-    for d in range(2, D + 1):
-        c = _shift_b(arr, d)
-        take = c > m
-        m = jnp.where(take, c, m)
-        bp = jnp.where(take, d, bp)
-    return m, bp
+# Shared with the lax-scan oracle ON PURPOSE: the bit-identity contract
+# ("identical operation order to the scans") would silently break if the
+# kernel carried its own copies of the window algebra. All four are
+# plain jnp functions, equally valid inside a Pallas kernel body.
+from .mobo import (NEG, _sb as _shift_b, _sf as _shift_f, _window_lse,
+                   _window_max_argmax_back)
 
 
 def _pad_grid(e_tm, chunk: int):
@@ -144,11 +112,13 @@ def _bp_kernel(tx_ref, e_ref, bp_ref, carry_ref, *, D: int):
 
 
 def _beta_kernel(tx_ref, ty_ref, e_next_ref, beta_ref, carry_ref,
-                 *, D: int, chunk: int, n: int):
+                 *, D: int):
     """Backward recursion over reversed token chunks: the grid walks
     chunks right-to-left; within a chunk, tokens high-to-low."""
+    chunk = e_next_ref.shape[0]
     B, T_y1 = carry_ref.shape
     i = pl.program_id(0)
+    n = pl.num_programs(0)
     tx = tx_ref[:]
     ty = ty_ref[:]
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, T_y1), 1)
@@ -247,7 +217,7 @@ def mobo_beta_pallas(e_tm, t_x, t_y, D: int, *, interpret: bool = False,
                             memory_space=pltpu.VMEM)
     rev = lambda i: (n - 1 - i, 0, 0)
     betas = pl.pallas_call(
-        functools.partial(_beta_kernel, D=D, chunk=chunk, n=n),
+        functools.partial(_beta_kernel, D=D),
         grid=(n,),
         in_specs=[
             len_spec, len_spec,

@@ -41,7 +41,7 @@ def device_time_from_trace(trace_dir: str, name_prefix: str):
     return float(np.mean(cands[name]))
 
 
-def _require_device(timeout_s: float = 900.0):
+def _require_device(timeout_s: float = 2400.0):
     """Fail fast with a well-formed JSON line if the axon tunnel is in a
     full outage (backend init hangs indefinitely; observed multi-hour).
     A generous timeout so a wedged-but-draining compile queue (~30 min

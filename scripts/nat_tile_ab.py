@@ -64,7 +64,8 @@ def main():
                 bits_ref = np.asarray(bits)
             fwd_ok = np.array_equal(np.asarray(bits), bits_ref)
             fwd_ms = measure_device_time(lambda: fwd(value)) * 1e3
-            f_ns = fwd_ms * 1e6 * bb / (B * (T_y + (-T_y) % 128))
+            T_yp = T_y + (-T_y) % (128 if T_y > 128 else 8)
+            f_ns = fwd_ms * 1e6 * bb / (B * T_yp)
             print(f"fwd bb={bb:3d} chunk={chunk:3d}: {fwd_ms:.3f} ms "
                   f"bits-equal={fwd_ok}  f(bb)={f_ns:.1f} ns/frame")
         except Exception as e:  # noqa: BLE001

@@ -17,7 +17,18 @@ OUT=${1:-/tmp/quality_campaign2.jsonl}
 : > "$OUT"
 run() {
   echo "### $*" | tee -a "$OUT"
-  timeout 3000 python -m aligner_tpu "$@" 2>/dev/null | tail -1 | tee -a "$OUT"
+  local out rc line
+  out=$(timeout 3000 python -m aligner_tpu "$@" 2>/dev/null)
+  rc=$?
+  line=${out##*$'\n'}
+  if [ $rc -ne 0 ] || [ "${line#\{}" = "$line" ]; then
+    # non-zero exit (incl. timeout's 124) or last stdout line is not a
+    # JSON object: record the failure explicitly instead of silently
+    # dropping the row.
+    echo "FAILED rc=$rc: $*" | tee -a "$OUT"
+  else
+    echo "$line" | tee -a "$OUT"
+  fi
 }
 
 for s in 0 1 2; do

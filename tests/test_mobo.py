@@ -211,6 +211,20 @@ def test_pallas_kernels_match_lax_scans():
                                       want_bp[:int(t_x[i]), i])
 
 
+def test_pallas_dispatch_budget_gate(monkeypatch):
+    """Shapes whose [B, T_y1_padded] rows exceed the VMEM budget must
+    fall back to the lax scans instead of failing Mosaic's scoped-VMEM
+    allocation on chip (review finding: dispatch was unconditional)."""
+    import aligner_tpu.ops.mobo as mobo_mod
+
+    monkeypatch.setattr(mobo_mod.jax, "default_backend", lambda: "tpu")
+    assert mobo_mod._use_pallas(16, 1025)       # config 4 fits
+    assert mobo_mod._use_pallas(64, 1025)       # ~74K elements fits
+    assert not mobo_mod._use_pallas(128, 1025)  # over budget -> lax
+    monkeypatch.setattr(mobo_mod.jax, "default_backend", lambda: "cpu")
+    assert not mobo_mod._use_pallas(2, 16)
+
+
 def test_mobo_forward_stays_autodiff_safe(monkeypatch):
     """mobo_forward is an autodiff surface (the reconstruction objective
     differentiates through its posteriors), so it must never route
@@ -219,7 +233,7 @@ def test_mobo_forward_stays_autodiff_safe(monkeypatch):
     crashed in jax.grad through pallas_call)."""
     import aligner_tpu.ops.mobo as mobo_mod
 
-    monkeypatch.setattr(mobo_mod, "_use_pallas", lambda: True)
+    monkeypatch.setattr(mobo_mod, "_use_pallas", lambda *a: True)
     rng = np.random.default_rng(31)
     B, T_x, T_y, D = 2, 6, 14, 4
     e = jnp.asarray(rng.standard_normal((B, T_y, T_x)).astype(np.float32))
