@@ -123,7 +123,8 @@ def build_parser():
                         "--pause-bias-anneal steps. Strongly negative "
                         "starts let tokens claim their frames before "
                         "pauses compete (the measured seed-robustness "
-                        "fix); 0 disables the curriculum")
+                        "fix); set equal to --pause-bias to disable "
+                        "the curriculum")
     p.add_argument("--pause-bias-anneal", type=int, default=None,
                    help="curriculum length in steps (default: "
                         "steps // 2)")
@@ -458,9 +459,14 @@ def cmd_demo_romo(args):
     out = model.apply({"params": params}, b["tokens"], b["mel"],
                       b["text_lengths"], b["mel_lengths"])
 
-    def stage_metrics(durs):
+    def stage_metrics(durs, keep=None):
+        """keep: optional [B] bool — items to include (the model
+        documents hard_durations as meaningless when refine_feasible is
+        False, so infeasible items must not pollute the refined row)."""
         accs = []
         for i in range(len(corpus)):
+            if keep is not None and not bool(keep[i]):
+                continue
             t_xi = len(corpus[i]["tokens"])
             d = np.asarray(durs[i])
             rec = duration_accuracy(np.rint(d).astype(int), corpus[i])
@@ -468,6 +474,8 @@ def cmd_demo_romo(args):
                                     corpus[i]["durations"],
                                     tolerance_frames=2)["f1"]
             accs.append(rec)
+        if not accs:
+            return None
         return {
             "duration_exact": round(float(np.mean([a["exact"]
                                                    for a in accs])), 3),
@@ -477,12 +485,12 @@ def cmd_demo_romo(args):
                                                      for a in accs])), 3),
         }
 
+    feas = np.asarray(out["refine_feasible"])
     print(json.dumps({
         "demo": "romo",
-        "refine_feasible": round(float(np.mean(
-            np.asarray(out["refine_feasible"]))), 3),
+        "refine_feasible": round(float(np.mean(feas)), 3),
         "rough": stage_metrics(out["rough_durations"]),
-        "refined": stage_metrics(out["hard_durations"]),
+        "refined": stage_metrics(out["hard_durations"], keep=feas),
     }))
 
 

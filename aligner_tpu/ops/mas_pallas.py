@@ -265,6 +265,49 @@ def _fwd_quad_fast(prev, c1, c2, c3, c4, x, max_neg_val):
     return b1, b2, b3, b4, new
 
 
+def _unrolled_fwd(vt, prev, write, y_base, x, T_x, chunk, max_neg_val,
+                  first_body: bool, quad: bool):
+    """Shared Python-unrolled forward over one chunk of columns. Lives
+    ONCE so the tie-rule-critical frame-step dispatch (full / quad /
+    pair / single) cannot drift between the fused time-major, fused
+    natural, batch-tiled natural, and two-kernel natural routes — all
+    of which carry the same bit-identity contract vs the oracle.
+
+    vt[j] must be indexable with a static int (vt is either a ref or a
+    traced value such as an in-kernel transpose result; Mosaic cannot
+    lower dynamic_slice on values, hence Python unrolling). `write(j,
+    bits)` stores frame j's decision bits; `y_base + j` is the absolute
+    frame index (only consulted by the first-chunk full steps). Returns
+    the carry after the chunk."""
+    if first_body:
+        for j in range(chunk):
+            bits, prev = _fwd_step_full(prev, vt[j], y_base + j, x,
+                                        max_neg_val)
+            write(j, bits)
+    elif quad and chunk % 4 == 0 and T_x >= 2:
+        for jj in range(chunk // 4):
+            j = 4 * jj
+            b1, b2, b3, b4, prev = _fwd_quad_fast(
+                prev, vt[j], vt[j + 1], vt[j + 2], vt[j + 3], x,
+                max_neg_val)
+            write(j, b1)
+            write(j + 1, b2)
+            write(j + 2, b3)
+            write(j + 3, b4)
+    elif chunk % 2 == 0 and T_x >= 2:
+        for jj in range(chunk // 2):
+            j = 2 * jj
+            bitsA, bitsB, prev = _fwd_pair_fast(prev, vt[j], vt[j + 1],
+                                                x, max_neg_val)
+            write(j, bitsA)
+            write(j + 1, bitsB)
+    else:
+        for j in range(chunk):
+            bits, prev = _fwd_step_fast(prev, vt[j], x, max_neg_val)
+            write(j, bits)
+    return prev
+
+
 _BT_PATTERNS = [(e4, e3, e2, e1)
                 for e4 in (0, 1) for e3 in (0, 1)
                 for e2 in (0, 1) for e1 in (0, 1)]
@@ -522,52 +565,20 @@ def _fused_kernel(tx_ref, ty_ref, val_ref, path_ref, bits_ref, state_ref,
     # forms an out-of-range scratch index.
     base_f = jnp.minimum(i, n - 1) * chunk
 
-    def body_full(j, prev):
-        bits, new = _fwd_step_full(prev, val_ref[j], base_f + j, x,
-                                   max_neg_val)
+    def write(j, bits):
         bits_ref[base_f + j] = bits
-        return new
-
-    def body_fast(j, prev):
-        bits, new = _fwd_step_fast(prev, val_ref[j], x, max_neg_val)
-        bits_ref[base_f + j] = bits
-        return new
-
-    def pair_fast(jj, prev):
-        j = 2 * jj
-        bitsA, bitsB, new = _fwd_pair_fast(prev, val_ref[j], val_ref[j + 1],
-                                           x, max_neg_val)
-        bits_ref[base_f + j] = bitsA
-        bits_ref[base_f + j + 1] = bitsB
-        return new
-
-    def quad_fast(jj, prev):
-        j = 4 * jj
-        b1, b2, b3, b4, new = _fwd_quad_fast(
-            prev, val_ref[j], val_ref[j + 1], val_ref[j + 2],
-            val_ref[j + 3], x, max_neg_val)
-        bits_ref[base_f + j] = b1
-        bits_ref[base_f + j + 1] = b2
-        bits_ref[base_f + j + 2] = b3
-        bits_ref[base_f + j + 3] = b4
-        return new
 
     @pl.when((i < n) & (i * chunk < T_x))
     def _():
-        state_ref[:] = jax.lax.fori_loop(0, chunk, body_full,
-                                         state_ref[:], unroll=True)
+        state_ref[:] = _unrolled_fwd(val_ref, state_ref[:], write,
+                                     base_f, x, T_x, chunk, max_neg_val,
+                                     True, quad)
 
     @pl.when((i < n) & (i * chunk >= T_x))
     def _():
-        if quad and chunk % 4 == 0 and T_x >= 2:
-            state_ref[:] = jax.lax.fori_loop(0, chunk // 4, quad_fast,
-                                             state_ref[:], unroll=True)
-        elif chunk % 2 == 0 and T_x >= 2:
-            state_ref[:] = jax.lax.fori_loop(0, chunk // 2, pair_fast,
-                                             state_ref[:], unroll=True)
-        else:
-            state_ref[:] = jax.lax.fori_loop(0, chunk, body_fast,
-                                             state_ref[:], unroll=True)
+        state_ref[:] = _unrolled_fwd(val_ref, state_ref[:], write,
+                                     base_f, x, T_x, chunk, max_neg_val,
+                                     False, quad)
 
     # -- backtrack half (shared) ----------------------------------------
     _bt_half(tx_ref, ty_ref, path_ref, bits_ref, state_ref, x,
@@ -597,46 +608,21 @@ def _fused_kernel_nat(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
 
     base_f = jnp.minimum(i, half - 1) * chunk
 
-    def fwd(vt, first_body):
-        # Python-unrolled: vt is a traced *value* (the in-kernel
-        # transpose result), and Mosaic cannot lower dynamic_slice on
-        # values (only on refs) — the frame index must be static.
-        prev = state_ref[:]
-        if first_body:
-            for j in range(chunk):
-                bits, prev = _fwd_step_full(prev, vt[j], base_f + j, x,
-                                            max_neg_val)
-                bits_ref[base_f + j] = bits
-        elif quad and chunk % 4 == 0 and T_x >= 2:
-            for jj in range(chunk // 4):
-                j = 4 * jj
-                b1, b2, b3, b4, prev = _fwd_quad_fast(
-                    prev, vt[j], vt[j + 1], vt[j + 2], vt[j + 3], x,
-                    max_neg_val)
-                bits_ref[base_f + j] = b1
-                bits_ref[base_f + j + 1] = b2
-                bits_ref[base_f + j + 2] = b3
-                bits_ref[base_f + j + 3] = b4
-        elif chunk % 2 == 0 and T_x >= 2:
-            for jj in range(chunk // 2):
-                j = 2 * jj
-                bitsA, bitsB, prev = _fwd_pair_fast(
-                    prev, vt[j], vt[j + 1], x, max_neg_val)
-                bits_ref[base_f + j] = bitsA
-                bits_ref[base_f + j + 1] = bitsB
-        else:
-            for j in range(chunk):
-                bits, prev = _fwd_step_fast(prev, vt[j], x, max_neg_val)
-                bits_ref[base_f + j] = bits
-        return prev
+    def write(j, bits):
+        bits_ref[base_f + j] = bits
+
+    def fwd(first_body):
+        return _unrolled_fwd(jnp.transpose(val_ref[:], (2, 0, 1)),
+                             state_ref[:], write, base_f, x, T_x, chunk,
+                             max_neg_val, first_body, quad)
 
     @pl.when((i < half) & (i * chunk < T_x))
     def _():
-        state_ref[:] = fwd(jnp.transpose(val_ref[:], (2, 0, 1)), True)
+        state_ref[:] = fwd(True)
 
     @pl.when((i < half) & (i * chunk >= T_x))
     def _():
-        state_ref[:] = fwd(jnp.transpose(val_ref[:], (2, 0, 1)), False)
+        state_ref[:] = fwd(False)
 
     # -- backtrack half (shared) ----------------------------------------
     _bt_half(tx_ref, ty_ref, path_ref, bits_ref, state_ref, x,
@@ -714,36 +700,13 @@ def _forward_kernel_natv(val_ref, bits_ref, carry_ref,
     def _():
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
+    def write(j, bits):
+        bits_ref[j] = bits
+
     def fwd(first_body):
-        vt = jnp.transpose(val_ref[:], (2, 0, 1))
-        prev = carry_ref[:]
-        if first_body:
-            for j in range(chunk):
-                bits, prev = _fwd_step_full(prev, vt[j], i * chunk + j, x,
-                                            max_neg_val)
-                bits_ref[j] = bits
-        elif quad and chunk % 4 == 0 and T_x >= 2:
-            for jj in range(chunk // 4):
-                j = 4 * jj
-                b1, b2, b3, b4, prev = _fwd_quad_fast(
-                    prev, vt[j], vt[j + 1], vt[j + 2], vt[j + 3], x,
-                    max_neg_val)
-                bits_ref[j] = b1
-                bits_ref[j + 1] = b2
-                bits_ref[j + 2] = b3
-                bits_ref[j + 3] = b4
-        elif chunk % 2 == 0 and T_x >= 2:
-            for jj in range(chunk // 2):
-                j = 2 * jj
-                bitsA, bitsB, prev = _fwd_pair_fast(
-                    prev, vt[j], vt[j + 1], x, max_neg_val)
-                bits_ref[j] = bitsA
-                bits_ref[j + 1] = bitsB
-        else:
-            for j in range(chunk):
-                bits, prev = _fwd_step_fast(prev, vt[j], x, max_neg_val)
-                bits_ref[j] = bits
-        return prev
+        return _unrolled_fwd(jnp.transpose(val_ref[:], (2, 0, 1)),
+                             carry_ref[:], write, i * chunk, x, T_x,
+                             chunk, max_neg_val, first_body, quad)
 
     @pl.when(i * chunk < T_x)
     def _():
@@ -840,43 +803,21 @@ def _fused_kernel_nat_tiled(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
 
     base_f = jnp.minimum(i, n - 1) * chunk
 
-    def fwd(vt, first_body):
-        prev = state_ref[:]
-        if first_body:
-            for j in range(chunk):
-                bits, prev = _fwd_step_full(prev, vt[j], base_f + j, x,
-                                            max_neg_val)
-                bits_ref[base_f + j] = bits
-        elif quad and chunk % 4 == 0 and T_x >= 2:
-            for jj in range(chunk // 4):
-                j = 4 * jj
-                b1, b2, b3, b4, prev = _fwd_quad_fast(
-                    prev, vt[j], vt[j + 1], vt[j + 2], vt[j + 3], x,
-                    max_neg_val)
-                bits_ref[base_f + j] = b1
-                bits_ref[base_f + j + 1] = b2
-                bits_ref[base_f + j + 2] = b3
-                bits_ref[base_f + j + 3] = b4
-        elif chunk % 2 == 0 and T_x >= 2:
-            for jj in range(chunk // 2):
-                j = 2 * jj
-                bitsA, bitsB, prev = _fwd_pair_fast(
-                    prev, vt[j], vt[j + 1], x, max_neg_val)
-                bits_ref[base_f + j] = bitsA
-                bits_ref[base_f + j + 1] = bitsB
-        else:
-            for j in range(chunk):
-                bits, prev = _fwd_step_fast(prev, vt[j], x, max_neg_val)
-                bits_ref[base_f + j] = bits
-        return prev
+    def write(j, bits):
+        bits_ref[base_f + j] = bits
+
+    def fwd(first_body):
+        return _unrolled_fwd(jnp.transpose(val_ref[:], (2, 0, 1)),
+                             state_ref[:], write, base_f, x, T_x, chunk,
+                             max_neg_val, first_body, quad)
 
     @pl.when((i < n) & (i * chunk < T_x))
     def _():
-        state_ref[:] = fwd(jnp.transpose(val_ref[:], (2, 0, 1)), True)
+        state_ref[:] = fwd(True)
 
     @pl.when((i < n) & (i * chunk >= T_x))
     def _():
-        state_ref[:] = fwd(jnp.transpose(val_ref[:], (2, 0, 1)), False)
+        state_ref[:] = fwd(False)
 
     # -- backtrack half (compare form, natural output) ------------------
     @pl.when(i == n)
@@ -1263,7 +1204,14 @@ def _forward_kernel_natv_multi(val_ref, bits_ref, carry_ref,
     chain c owns batch rows [c*B//K, (c+1)*B//K), so the reshape and
     the final bits reshape are both free (contiguous leading-dim
     merges). bits block (chunk, K, bb, T_x); carry scratch
-    (K, bb, T_x)."""
+    (K, bb, T_x).
+
+    Deliberately NOT routed through _unrolled_fwd: the frame loops here
+    interleave the K chains' steps per frame (chain c's step j emitted
+    adjacent to chain c+1's step j), which is the latency-hiding point;
+    the shared helper would emit whole chunks per chain sequentially.
+    The per-step algebra is still the same _fwd_step_full/_fwd_pair_
+    fast/_fwd_quad_fast primitives, so the tie rules cannot diverge."""
     k, Bb, T_x, chunk = val_ref.shape
     i = pl.program_id(1)
     x = jax.lax.broadcasted_iota(jnp.int32, (Bb, T_x), 1)

@@ -39,7 +39,16 @@ def load_run_config(directory: str) -> dict | None:
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f)
+        rec = json.load(f)
+    mc = rec.get("model_config")
+    if (rec.get("model_class") == "OTA" and isinstance(mc, dict)
+            and mc.get("model_pauses") and "pause_prior" not in mc):
+        # Pause-aware checkpoints saved before the pause_prior knob
+        # existed were trained under the then-only "inherit" prior;
+        # letting OTAConfig's new default ("bridge") fill the gap would
+        # silently change the prior lattice the restored params see.
+        mc["pause_prior"] = "inherit"
+    return rec
 
 
 def latest_step(directory: str) -> int | None:

@@ -18,11 +18,15 @@ run() {
 }
 
 # --- pause quality (easy corpus) -----------------------------------
-run demo-pauses --steps 1500 --seed 0 --pause-prior inherit --skip-blind
-run demo-pauses --steps 1500 --seed 0 --pause-prior bridge --skip-blind
-run demo-pauses --steps 2000 --seed 0 --temperature 0.15 --pause-prior bridge --skip-blind
-run demo-pauses --steps 2000 --seed 0 --temperature 0.15 --pause-prior bridge --pause-bias -1.0 --skip-blind
-run demo-pauses --steps 2000 --seed 1 --temperature 0.15 --pause-prior bridge --skip-blind
+# NOTE: commit 8b69aa7 later made a -3 -> --pause-bias curriculum the
+# DEFAULT; the rows below predate it and measured constant-bias
+# behaviour, so each pins --pause-bias-start to the final bias
+# (start == final disables the curriculum) to stay reproducible.
+run demo-pauses --steps 1500 --seed 0 --pause-prior inherit --pause-bias-start 0 --skip-blind
+run demo-pauses --steps 1500 --seed 0 --pause-prior bridge --pause-bias-start 0 --skip-blind
+run demo-pauses --steps 2000 --seed 0 --temperature 0.15 --pause-prior bridge --pause-bias-start 0 --skip-blind
+run demo-pauses --steps 2000 --seed 0 --temperature 0.15 --pause-prior bridge --pause-bias -1.0 --pause-bias-start -1.0 --skip-blind
+run demo-pauses --steps 2000 --seed 1 --temperature 0.15 --pause-prior bridge --pause-bias-start 0 --skip-blind
 
 # --- hard corpus ----------------------------------------------------
 run demo-ota --steps 2000 --recon --temperature 0.15 --hard --seed 0
