@@ -347,6 +347,34 @@ def test_train_loop_seed_determinism(tmp_path):
     assert cfg["train_seed"] == 7
 
 
+def test_load_run_config_backfills_pause_prior(tmp_path):
+    """Pause-aware checkpoints saved before the pause_prior knob existed
+    were trained under the then-only 'inherit' prior; the loader must
+    back-fill that instead of letting OTAConfig's new 'bridge' default
+    silently change the restored prior lattice."""
+    import json
+
+    from aligner_tpu.train.checkpoint import load_run_config
+
+    rec = {"model_class": "OTA",
+           "model_config": {"dim": 32, "model_pauses": True}}
+    (tmp_path / "config.json").write_text(json.dumps(rec))
+    cfg = load_run_config(str(tmp_path))
+    assert cfg["model_config"]["pause_prior"] == "inherit"
+
+    # a config that RECORDS pause_prior is left alone
+    rec["model_config"]["pause_prior"] = "bridge"
+    (tmp_path / "config.json").write_text(json.dumps(rec))
+    assert load_run_config(str(tmp_path))["model_config"][
+        "pause_prior"] == "bridge"
+
+    # pause-free configs are untouched
+    rec2 = {"model_class": "OTA", "model_config": {"dim": 32}}
+    (tmp_path / "config.json").write_text(json.dumps(rec2))
+    assert "pause_prior" not in load_run_config(
+        str(tmp_path))["model_config"]
+
+
 def test_resume_mismatch_preserves_config(tmp_path):
     """A mismatched resume must fail BEFORE this run's config can
     overwrite the checkpoint directory's config.json."""
