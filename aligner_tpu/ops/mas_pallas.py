@@ -778,7 +778,8 @@ def mas_pallas_bits_nat(value, *, interpret: bool = False,
 def _fused_kernel_nat_tiled(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
                             state_ref, *,
                             max_neg_val: float = MAX_NEG_VAL,
-                            quad: bool = False):
+                            quad: bool = False,
+                            quad_walk: bool = False):
     """Batch-tiled fused natural pipeline: grid = (batch_blocks, 2n).
     For each batch block, steps [0, n) sweep the block's natural-layout
     value chunks (in-kernel transpose, decision bits into a VMEM
@@ -831,7 +832,7 @@ def _fused_kernel_nat_tiled(tx_ref, ty_ref, val_ref, path_ref, bits_ref,
     def _():
         ind, acc = _bt_cmp_walk(state_ref[:],
                                 lambda j: bits_ref[base_b + j], base_b,
-                                chunk, ty, T_x, Bb, x, quad=quad)
+                                chunk, ty, T_x, Bb, x, quad=quad_walk)
         state_ref[:] = ind
         path_ref[:] = _cmp_emit(acc, Bb, T_x, chunk)
 
@@ -864,11 +865,19 @@ def mas_pallas_nat_fused_tiled(value, t_x, t_y, *,
                                max_neg_val: float = MAX_NEG_VAL,
                                batch_block: int | None = None,
                                _chunk: int | None = None,
-                               quad: bool = False):
+                               quad: bool = False,
+                               quad_walk: bool = False):
     """Single-launch natural-in/natural-out MAS over batch tiles:
     [B, T_x, T_y] f32 lattice + lengths -> f32 path [B, T_x, T_y]
     (the reference's layout end to end; the caller slices off frame
-    padding). Requires T_x % 8 == 0 and a usable batch tile."""
+    padding). Requires T_x % 8 == 0 and a usable batch tile.
+
+    `quad` composes the FORWARD recurrences four frames per cross-lane
+    shift; the compare-form walk stays pair-composed unless `quad_walk`
+    is set — the quad walk's extra nested packs cost more than the
+    latency they hide at this route's batch sizes (measured on v5e at
+    B=32 128x1024: walk 0.065 ms pair vs 0.078 ms quad; end-to-end
+    0.124 vs 0.133 ms)."""
     B, T_x, T_y = value.shape
     pad = (-T_y) % (128 if T_y > 128 else 8)
     if pad:
@@ -888,7 +897,8 @@ def mas_pallas_nat_fused_tiled(value, t_x, t_y, *,
     path = pl.pallas_call(
         functools.partial(_fused_kernel_nat_tiled,
                           max_neg_val=max_neg_val,
-                          quad=quad and chunk % 4 == 0),
+                          quad=quad and chunk % 4 == 0,
+                          quad_walk=quad_walk and chunk % 4 == 0),
         grid=(B // bb, 2 * n),
         in_specs=[
             len_spec, len_spec,

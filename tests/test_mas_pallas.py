@@ -364,12 +364,13 @@ def test_nat_fused_tiled():
     want = oracle(value, t_xs, t_ys)
     t_xs[1], t_ys[1] = T_x, 2          # invalid: all-zero path
     want[1] = 0                        # (oracle raises on t_x > t_y)
-    for bb, chunk, quad in ((2, 8, False), (4, 8, True), (8, 5, False),
-                            (4, 4, True)):
+    for bb, chunk, quad, quad_walk in (
+            (2, 8, False, False), (4, 8, True, False), (8, 5, False, False),
+            (4, 4, True, True), (2, 8, False, True)):
         got = np.asarray(mas_pallas_nat_fused_tiled(
             jnp.asarray(value), jnp.asarray(t_xs), jnp.asarray(t_ys),
             interpret=True, batch_block=bb, _chunk=chunk,
-            quad=quad)).astype(np.int32)
+            quad=quad, quad_walk=quad_walk)).astype(np.int32)
         np.testing.assert_array_equal(got, want)
 
 
