@@ -32,3 +32,73 @@ def maximum_path(value, mask):
     m = jnp.asarray(mask.detach().cpu().to(torch.float32).numpy())
     path = _maximum_path_jax(v, m)
     return torch.from_numpy(np.asarray(path)).to(device=device, dtype=dtype)
+
+
+def _to_jax_f32(t):
+    import torch
+
+    return jnp.asarray(t.detach().cpu().to(torch.float32).numpy())
+
+
+def forward_sum_loss(log_probs, text_lengths, mel_lengths):
+    """Torch-autograd bridge to the TPU forward-sum (CTC-style) loss.
+
+    Matches the alignment-loss contract of the OTA/RAD-TTS family that
+    the reference ecosystem trains with: ``log_probs`` is a torch tensor
+    [B, T_y, T_x] of per-frame log-probabilities over text tokens
+    (log-softmax over the last axis, plus any prior), ``text_lengths`` /
+    ``mel_lengths`` are int tensors [B]. Returns a per-item torch loss
+    [B] that participates in torch autograd: the backward pass uses the
+    analytic gradient -gamma (the alignment posterior) computed on the
+    JAX device in the same forward-backward sweep — no torch-side
+    recursion, one device round trip per direction.
+
+    Items with text_lengths > mel_lengths (no monotonic surjective
+    alignment) get loss 0 with zero gradient, like the JAX op.
+    """
+    from .ops.forward_sum import forward_sum_loss_with_posteriors
+
+    import torch
+
+    class _ForwardSum(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, lp, t_x, t_y):
+            loss, gamma = forward_sum_loss_with_posteriors(
+                _to_jax_f32(lp),
+                jnp.asarray(t_x.detach().cpu().numpy().astype(np.int32)),
+                jnp.asarray(t_y.detach().cpu().numpy().astype(np.int32)))
+            ctx.save_for_backward(
+                torch.from_numpy(np.asarray(gamma)))
+            ctx.in_dtype = lp.dtype
+            ctx.in_device = lp.device
+            return torch.from_numpy(np.asarray(loss)).to(
+                device=lp.device, dtype=lp.dtype)
+
+        @staticmethod
+        def backward(ctx, g):
+            (gamma,) = ctx.saved_tensors
+            gamma = gamma.to(device=ctx.in_device, dtype=ctx.in_dtype)
+            grad = -gamma * g[:, None, None].to(gamma)
+            return grad, None, None
+
+    return _ForwardSum.apply(log_probs, text_lengths, mel_lengths)
+
+
+def beta_binomial_prior(text_lengths, mel_lengths, max_text: int,
+                        max_mel: int, omega: float = 1.0):
+    """Torch-facing beta-binomial alignment prior [B, T_y, T_x].
+
+    Computed with the on-device pmf-ratio recurrence (ops/prior.py) and
+    returned as a torch float32 tensor on text_lengths' device; add it
+    to log-softmax attention before `forward_sum_loss`.
+    """
+    from .ops.prior import beta_binomial_log_prior
+
+    import torch
+
+    device = text_lengths.device
+    prior = beta_binomial_log_prior(
+        jnp.asarray(text_lengths.detach().cpu().numpy().astype(np.int32)),
+        jnp.asarray(mel_lengths.detach().cpu().numpy().astype(np.int32)),
+        max_text, max_mel, omega)
+    return torch.from_numpy(np.asarray(prior)).to(device=device)

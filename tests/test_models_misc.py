@@ -58,6 +58,50 @@ def test_torch_compat_drop_in():
     np.testing.assert_array_equal(path.numpy().astype(np.int32), want)
 
 
+def test_torch_compat_forward_sum_autograd():
+    torch = pytest.importorskip(
+        "torch", reason="torch_compat shim needs torch (optional extra)")
+
+    from aligner_tpu.torch_compat import beta_binomial_prior, forward_sum_loss
+    from aligner_tpu.ops.forward_sum import forward_sum_loss as fsl_jax
+    from aligner_tpu.ops.prior import beta_binomial_log_prior
+
+    rng = np.random.default_rng(7)
+    B, T_x, T_y = 3, 9, 21
+    logits = rng.standard_normal((B, T_y, T_x)).astype(np.float32)
+    lp_np = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    t_x = np.array([9, 5, 8], np.int32)
+    t_y = np.array([21, 14, 4], np.int32)  # item 2 invalid: t_x > t_y
+
+    lp = torch.from_numpy(lp_np).requires_grad_(True)
+    loss = forward_sum_loss(lp, torch.from_numpy(t_x), torch.from_numpy(t_y))
+    assert loss.shape == (B,)
+    want = np.asarray(fsl_jax(jnp.asarray(lp_np), jnp.asarray(t_x),
+                              jnp.asarray(t_y)))
+    np.testing.assert_allclose(loss.detach().numpy(), want, rtol=1e-5,
+                               atol=1e-5)
+    assert float(loss[2]) == 0.0
+
+    # Backward: weighted sum so each item's cotangent differs; grad must
+    # match jax.grad of the same weighted objective.
+    w = np.array([1.0, 0.5, 2.0], np.float32)
+    (loss * torch.from_numpy(w)).sum().backward()
+    g_want = np.asarray(jax.grad(
+        lambda v: jnp.sum(fsl_jax(v, jnp.asarray(t_x), jnp.asarray(t_y))
+                          * jnp.asarray(w)))(jnp.asarray(lp_np)))
+    np.testing.assert_allclose(lp.grad.numpy(), g_want, rtol=1e-5, atol=1e-6)
+    assert np.abs(lp.grad.numpy()[2]).max() == 0.0
+
+    prior = beta_binomial_prior(torch.from_numpy(t_x), torch.from_numpy(t_y),
+                                T_x, T_y)
+    assert isinstance(prior, torch.Tensor) and prior.shape == (B, T_y, T_x)
+    np.testing.assert_allclose(
+        prior.numpy(),
+        np.asarray(beta_binomial_log_prior(jnp.asarray(t_x),
+                                           jnp.asarray(t_y), T_x, T_y)),
+        rtol=1e-6)
+
+
 def test_romo_model_end_to_end():
     from aligner_tpu.models import RoMoAligner, RoMoConfig
 
