@@ -31,7 +31,10 @@ def maximum_path(value, mask):
     v = jnp.asarray(value.detach().cpu().to(torch.float32).numpy())
     m = jnp.asarray(mask.detach().cpu().to(torch.float32).numpy())
     path = _maximum_path_jax(v, m)
-    return torch.from_numpy(np.asarray(path)).to(device=device, dtype=dtype)
+    # .copy(): JAX-backed numpy views are non-writable and share device-
+    # transfer buffers; hand the caller an owning, writable tensor.
+    return torch.from_numpy(np.asarray(path).copy()).to(
+        device=device, dtype=dtype)
 
 
 def _to_jax_f32(t):
@@ -48,17 +51,33 @@ def forward_sum_loss(log_probs, text_lengths, mel_lengths):
     [B, T_y, T_x] of per-frame log-probabilities over text tokens
     (log-softmax over the last axis, plus any prior), ``text_lengths`` /
     ``mel_lengths`` are int tensors [B]. Returns a per-item torch loss
-    [B] that participates in torch autograd: the backward pass uses the
-    analytic gradient -gamma (the alignment posterior) computed on the
-    JAX device in the same forward-backward sweep — no torch-side
-    recursion, one device round trip per direction.
+    [B] that participates in torch autograd: when a gradient is needed,
+    the forward device call also runs the backward sweep and fetches the
+    alignment posterior gamma, whose negation is the analytic gradient —
+    the torch backward is then a host-side scale of that saved tensor
+    (no second device call). When no gradient is needed (eval loops,
+    `torch.no_grad()`, non-requires-grad inputs) only the alpha sweep
+    runs and gamma is never computed or fetched.
 
-    Items with text_lengths > mel_lengths (no monotonic surjective
-    alignment) get loss 0 with zero gradient, like the JAX op.
+    Validity contract (same as the JAX op, ops/forward_sum.py): items
+    need 1 <= text_lengths[i] <= mel_lengths[i]; items with
+    text_lengths > mel_lengths (no monotonic surjective alignment
+    exists) OR text_lengths < 1 (empty token sequence) get a defined
+    loss of 0 with zero gradient.
     """
-    from .ops.forward_sum import forward_sum_loss_with_posteriors
+    from .ops.forward_sum import (forward_sum_loss as _plain_loss,
+                                  forward_sum_loss_with_posteriors)
 
     import torch
+
+    needs_grad = torch.is_grad_enabled() and log_probs.requires_grad
+    if not needs_grad:
+        loss = _plain_loss(
+            _to_jax_f32(log_probs),
+            jnp.asarray(text_lengths.detach().cpu().numpy().astype(np.int32)),
+            jnp.asarray(mel_lengths.detach().cpu().numpy().astype(np.int32)))
+        return torch.from_numpy(np.asarray(loss).copy()).to(
+            device=log_probs.device, dtype=log_probs.dtype)
 
     class _ForwardSum(torch.autograd.Function):
         @staticmethod
@@ -68,10 +87,10 @@ def forward_sum_loss(log_probs, text_lengths, mel_lengths):
                 jnp.asarray(t_x.detach().cpu().numpy().astype(np.int32)),
                 jnp.asarray(t_y.detach().cpu().numpy().astype(np.int32)))
             ctx.save_for_backward(
-                torch.from_numpy(np.asarray(gamma)))
+                torch.from_numpy(np.asarray(gamma).copy()))
             ctx.in_dtype = lp.dtype
             ctx.in_device = lp.device
-            return torch.from_numpy(np.asarray(loss)).to(
+            return torch.from_numpy(np.asarray(loss).copy()).to(
                 device=lp.device, dtype=lp.dtype)
 
         @staticmethod
@@ -101,4 +120,4 @@ def beta_binomial_prior(text_lengths, mel_lengths, max_text: int,
         jnp.asarray(text_lengths.detach().cpu().numpy().astype(np.int32)),
         jnp.asarray(mel_lengths.detach().cpu().numpy().astype(np.int32)),
         max_text, max_mel, omega)
-    return torch.from_numpy(np.asarray(prior)).to(device=device)
+    return torch.from_numpy(np.asarray(prior).copy()).to(device=device)

@@ -92,6 +92,16 @@ def test_torch_compat_forward_sum_autograd():
     np.testing.assert_allclose(lp.grad.numpy(), g_want, rtol=1e-5, atol=1e-6)
     assert np.abs(lp.grad.numpy()[2]).max() == 0.0
 
+    # No-grad fast path: same values via the plain (alpha-only) loss, and
+    # the returned tensor owns writable memory (ADVICE r3: no shared
+    # non-writable JAX buffers at the boundary).
+    with torch.no_grad():
+        loss_ng = forward_sum_loss(lp, torch.from_numpy(t_x),
+                                   torch.from_numpy(t_y))
+    assert not loss_ng.requires_grad
+    np.testing.assert_allclose(loss_ng.numpy(), want, rtol=1e-5, atol=1e-5)
+    loss_ng[0] = 0.0  # must not raise (writable, owning)
+
     prior = beta_binomial_prior(torch.from_numpy(t_x), torch.from_numpy(t_y),
                                 T_x, T_y)
     assert isinstance(prior, torch.Tensor) and prior.shape == (B, T_y, T_x)
@@ -100,6 +110,7 @@ def test_torch_compat_forward_sum_autograd():
         np.asarray(beta_binomial_log_prior(jnp.asarray(t_x),
                                            jnp.asarray(t_y), T_x, T_y)),
         rtol=1e-6)
+    prior[0, 0, 0] = 0.0  # must not raise (writable, owning)
 
 
 def test_romo_model_end_to_end():
