@@ -165,6 +165,18 @@ def maximum_path(value, mask, *, implementation: str = "auto",
     the reference dispatcher's one knob (core.pyx:40, default -1e9). It
     must dominate (be far below) every real lattice value; only change it
     if your lattice legitimately contains values near -1e9.
+
+    Performance note (measured on a v5e; details in docs/PERF.md
+    "Serving guidance"): this drop-in API accepts the reference's
+    `[b, t_x, t_y]` layout directly, and for standalone calls up to
+    B ≈ 45 it is also the fastest route. Above that, the layout +
+    output-dtype contract itself costs ~2x vs the time-major kernels
+    (B=256: 0.699 ms here vs 0.329 ms time-major) — latency-critical
+    large-batch serving should build lattices time-major and call
+    `mas_pallas_tm` (or `mas_path_frame_major`, or `serving.BatchAligner`
+    which buckets and dispatches for you). Inside a larger jitted
+    program XLA fuses the layout conversions into the producers, so
+    integrated training steps see kernel-side throughput either way.
     """
     value = jnp.asarray(value)
     mask = jnp.asarray(mask)
