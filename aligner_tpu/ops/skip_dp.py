@@ -28,6 +28,15 @@ bit-identical to; conformance is against this module's NumPy oracle):
 * moves: stay (0), advance (1), skip (2); skip only into odd s >= 3.
 * start states {0, 1} (leading pause optional), end states
   {T_s-2, T_s-1} (trailing pause optional), where T_s = 2*t_x + 1.
+* optional `enter_cost`: a log-domain cost added once per transition
+  INTO a pause state (advance into even s, plus starting in state 0).
+  A monotonic path enters each pause at most once, so this is a cost
+  per *used pause slot* — a pause-count prior, orthogonal to the
+  per-frame occupancy cost (`OTAConfig.pause_bias`) which scales with
+  pause LENGTH. Negative values suppress spurious short pauses without
+  penalising long real ones (the round-3 hard-corpus saturation lever;
+  see docs/design.md "pause duration model"). 0.0 (default) is exactly
+  the round-3 behaviour.
 * Viterbi ties prefer the smaller move (stay > advance > skip — each
   candidate replaces only if strictly greater), matching the plain MAS
   convention that transitions happen as early as possible; the end
@@ -61,11 +70,14 @@ def n_states(t_x):
 # ---------------------------------------------------------------------------
 
 def mas_skip_single(value: np.ndarray, t_x: int, t_y: int,
-                    max_neg_val: float = MAX_NEG_VAL) -> np.ndarray:
+                    max_neg_val: float = MAX_NEG_VAL,
+                    enter_cost: float = 0.0) -> np.ndarray:
     """Viterbi over the pause-expanded lattice for one item.
 
     value: [T_s_pad, T_y_pad] float32, rows 0..2*t_x are live states.
     Returns an int32 0/1 path of value.shape (one state per frame).
+    enter_cost: added to every advance-into-even-state candidate (and
+    the state-0 start) — see the module docstring.
     """
     if not (1 <= t_x <= t_y):
         raise ValueError(f"need 1 <= t_x <= t_y, got {t_x}, {t_y}")
@@ -73,18 +85,22 @@ def mas_skip_single(value: np.ndarray, t_x: int, t_y: int,
     if T_s > value.shape[0]:
         raise ValueError(f"value has {value.shape[0]} state rows, "
                          f"need 2*t_x+1 = {T_s}")
+    c = np.float32(enter_cost)
     v = np.full((T_s, t_y), np.float32(max_neg_val), np.float32)
     move = np.zeros((T_s, t_y), np.int8)
-    v[0, 0] = value[0, 0]
+    v[0, 0] = np.float32(np.float32(value[0, 0]) + c)
     if T_s > 1:
         v[1, 0] = value[1, 0]
     for y in range(1, t_y):
         for s in range(T_s):
             best = v[s, y - 1]
             m = 0
-            if s >= 1 and v[s - 1, y - 1] > best:
-                best = v[s - 1, y - 1]
-                m = 1
+            if s >= 1:
+                cand = np.float32(v[s - 1, y - 1]
+                                  + (c if s % 2 == 0 else np.float32(0.0)))
+                if cand > best:
+                    best = cand
+                    m = 1
             if s >= 3 and s % 2 == 1 and v[s - 2, y - 1] > best:
                 best = v[s - 2, y - 1]
                 m = 2
@@ -103,14 +119,16 @@ def mas_skip_single(value: np.ndarray, t_x: int, t_y: int,
     return path
 
 
-def forward_sum_skip_numpy(logp: np.ndarray, t_x: int, t_y: int) -> float:
+def forward_sum_skip_numpy(logp: np.ndarray, t_x: int, t_y: int,
+                           enter_cost: float = 0.0) -> float:
     """Log-marginal over all pause-optional monotonic alignments.
 
     logp: [T_s_pad, T_y_pad] (state-major for symmetry with the oracle).
+    enter_cost: log-cost per pause entered (module docstring).
     """
     T_s = 2 * t_x + 1
     a = np.full(T_s, -np.inf)
-    a[0] = logp[0, 0]
+    a[0] = logp[0, 0] + enter_cost
     if T_s > 1:
         a[1] = logp[1, 0]
     for y in range(1, t_y):
@@ -118,7 +136,8 @@ def forward_sum_skip_numpy(logp: np.ndarray, t_x: int, t_y: int) -> float:
         for s in range(T_s):
             terms = [a[s]]
             if s >= 1:
-                terms.append(a[s - 1])
+                terms.append(a[s - 1]
+                             + (enter_cost if s % 2 == 0 else 0.0))
             if s >= 3 and s % 2 == 1:
                 terms.append(a[s - 2])
             m = max(terms)
@@ -138,7 +157,8 @@ def forward_sum_skip_numpy(logp: np.ndarray, t_x: int, t_y: int) -> float:
 # lax Viterbi (CPU path + interpret oracle for the Pallas kernel)
 # ---------------------------------------------------------------------------
 
-def _mas_skip_single_lax(value, t_x, t_y, max_neg_val=MAX_NEG_VAL):
+def _mas_skip_single_lax(value, t_x, t_y, max_neg_val=MAX_NEG_VAL,
+                         enter_cost=0.0):
     """value: [T_s, T_y] f32; returns 0/1 path [T_s, T_y] f32."""
     T_s, T_y = value.shape
     ss = jnp.arange(T_s, dtype=jnp.int32)
@@ -146,13 +166,19 @@ def _mas_skip_single_lax(value, t_x, t_y, max_neg_val=MAX_NEG_VAL):
     live = ss < ts
     can_skip = (ss % 2 == 1) & (ss >= 3) & live
     valid = (t_x >= 1) & (t_x <= t_y)
+    c = jnp.float32(enter_cost)
 
-    init = jnp.where((ss <= 1) & live, value[:, 0], max_neg_val)
+    col0 = value[:, 0]
+    if enter_cost != 0.0:
+        col0 = jnp.where(ss == 0, col0 + c, col0)
+    init = jnp.where((ss <= 1) & live, col0, max_neg_val)
 
     def fwd(prev, inputs):
         y, col = inputs
         p1 = jnp.concatenate([prev[:1], prev[:-1]])
         p2 = jnp.concatenate([prev[:2], prev[:-2]])
+        if enter_cost != 0.0:
+            p1 = jnp.where(ss % 2 == 0, p1 + c, p1)
         p1 = jnp.where(ss >= 1, p1, max_neg_val)
         p2 = jnp.where(can_skip, p2, max_neg_val)
         # ties prefer the smaller move: replace only if strictly greater
@@ -189,12 +215,14 @@ def _mas_skip_single_lax(value, t_x, t_y, max_neg_val=MAX_NEG_VAL):
     return rows.T
 
 
-@functools.partial(jax.jit, static_argnames=("max_neg_val",))
-def mas_skip_lax(value, t_x, t_y, *, max_neg_val: float = MAX_NEG_VAL):
+@functools.partial(jax.jit, static_argnames=("max_neg_val", "enter_cost"))
+def mas_skip_lax(value, t_x, t_y, *, max_neg_val: float = MAX_NEG_VAL,
+                 enter_cost: float = 0.0):
     """Batched pause-aware Viterbi. value: [B, T_s, T_y] f32 (state-major,
     T_s >= 2*max(t_x)+1); t_x, t_y: [B]. Returns 0/1 paths [B, T_s, T_y].
-    """
-    fn = functools.partial(_mas_skip_single_lax, max_neg_val=max_neg_val)
+    enter_cost: log-cost per pause entered (module docstring)."""
+    fn = functools.partial(_mas_skip_single_lax, max_neg_val=max_neg_val,
+                           enter_cost=enter_cost)
     return jax.vmap(fn)(value.astype(jnp.float32), t_x, t_y)
 
 
@@ -210,7 +238,7 @@ def _masked_logp_skip(log_probs, t_x):
     return jnp.where(ss[None, None, :] < ts[:, None, None], log_probs, NEG)
 
 
-def _alpha_scan_skip(lp_tm, t_y):
+def _alpha_scan_skip(lp_tm, t_y, enter_cost: float = 0.0):
     """lp_tm: [T_y, B, T_s] pre-masked. Returns alpha [T_y, B, T_s]."""
     T_y, B, T_s = lp_tm.shape
     ss = jnp.arange(T_s, dtype=jnp.int32)
@@ -218,12 +246,16 @@ def _alpha_scan_skip(lp_tm, t_y):
     neg_col = jnp.full((B, 1), NEG, jnp.float32)
     neg_col2 = jnp.full((B, 2), NEG, jnp.float32)
     first = jnp.where(ss[None, :] <= 1, 0.0, NEG)
+    if enter_cost != 0.0:
+        first = jnp.where(ss[None, :] == 0, first + enter_cost, first)
     init = jnp.full((B, T_s), NEG, jnp.float32)
 
     def step(prev, inputs):
         y, col = inputs
         p1 = jnp.concatenate([neg_col, prev[:, :-1]], axis=1)
         p2 = jnp.concatenate([neg_col2, prev[:, :-2]], axis=1)
+        if enter_cost != 0.0:
+            p1 = jnp.where((ss % 2 == 0)[None, :], p1 + enter_cost, p1)
         p2 = jnp.where(can_skip[None, :], p2, NEG)
         inner = jnp.logaddexp(jnp.logaddexp(prev, p1), p2)
         alpha = col + jnp.where(y == 0, first, inner)
@@ -235,7 +267,7 @@ def _alpha_scan_skip(lp_tm, t_y):
     return alphas
 
 
-def _beta_scan_skip(lp_tm, t_x, t_y):
+def _beta_scan_skip(lp_tm, t_x, t_y, enter_cost: float = 0.0):
     """beta[s, y] = log-mass of suffixes after (s, y) excluding lp[s, y].
     Skip arcs leave odd (token) states s and land on s + 2."""
     T_y, B, T_s = lp_tm.shape
@@ -253,6 +285,9 @@ def _beta_scan_skip(lp_tm, t_x, t_y):
         msg = nxt + col_next
         m1 = jnp.concatenate([msg[:, 1:], neg_col], axis=1)
         m2 = jnp.concatenate([msg[:, 2:], neg_col2], axis=1)
+        if enter_cost != 0.0:
+            # the advance arc s -> s+1 enters a pause iff s+1 is even
+            m1 = jnp.where((ss % 2 == 1)[None, :], m1 + enter_cost, m1)
         m2 = jnp.where(skip_out, m2, NEG)
         beta = jnp.logaddexp(jnp.logaddexp(msg, m1), m2)
         beta = jnp.where(y == t_y[:, None] - 1, end_col, beta)
@@ -286,33 +321,41 @@ def _use_pallas() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-@jax.custom_vjp
-def forward_sum_skip_loss(log_probs, t_x, t_y):
+def forward_sum_skip_loss(log_probs, t_x, t_y, enter_cost: float = 0.0):
     """NLL of the pause-optional monotonic alignment marginal.
 
     log_probs: [B, T_y, T_s] frame-major over expanded states (T_s >=
     2*max(t_x)+1), log-softmax over states (+ prior); -inf-safe. t_x is
     the *token* count per item. Returns per-item loss [B]; invalid
     lengths (t_x < 1 or t_x > t_y) give 0 with zero gradient.
+    enter_cost: static log-cost per pause entered (module docstring);
+    the gradient stays -gamma, the posterior occupancy under the
+    penalized model.
     """
-    loss, _ = _fss_fwd(log_probs, t_x, t_y)
+    return _fss_cvjp(log_probs, t_x, t_y, float(enter_cost))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fss_cvjp(log_probs, t_x, t_y, enter_cost):
+    loss, _ = _fss_fwd(log_probs, t_x, t_y, enter_cost)
     return loss
 
 
-def _fss_fwd(log_probs, t_x, t_y):
+def _fss_fwd(log_probs, t_x, t_y, enter_cost=0.0):
     lp = _masked_logp_skip(log_probs.astype(jnp.float32), t_x)
     lp_tm = jnp.moveaxis(lp, 0, 1)
     if _use_pallas():
         from .skip_dp_pallas import forward_sum_skip_alpha_pallas
-        alphas = forward_sum_skip_alpha_pallas(lp_tm, t_y)
+        alphas = forward_sum_skip_alpha_pallas(lp_tm, t_y,
+                                               enter_cost=enter_cost)
     else:
-        alphas = _alpha_scan_skip(lp_tm, t_y)
+        alphas = _alpha_scan_skip(lp_tm, t_y, enter_cost)
     valid = _valid_items_skip(t_x, t_y)
     total = jnp.where(valid, _total_from_alphas_skip(alphas, t_x), 0.0)
     return -total, (lp_tm, alphas, total, t_x, t_y)
 
 
-def _fss_bwd(res, g):
+def _fss_bwd(enter_cost, res, g):
     lp_tm, alphas, total, t_x, t_y = res
     T_y, B, T_s = lp_tm.shape
     valid = _valid_items_skip(t_x, t_y)
@@ -320,9 +363,10 @@ def _fss_bwd(res, g):
     if _use_pallas():
         from .skip_dp_pallas import forward_sum_skip_gamma_pallas
         gamma = forward_sum_skip_gamma_pallas(lp_tm, alphas, total,
-                                              t_x, t_y)
+                                              t_x, t_y,
+                                              enter_cost=enter_cost)
     else:
-        betas = _beta_scan_skip(lp_tm, t_x, t_y)
+        betas = _beta_scan_skip(lp_tm, t_x, t_y, enter_cost)
         gamma = jnp.exp(alphas + betas - total[None, :, None])
         ys = jnp.arange(T_y, dtype=jnp.int32)
         ss = jnp.arange(T_s, dtype=jnp.int32)
@@ -334,7 +378,7 @@ def _fss_bwd(res, g):
     return jnp.moveaxis(grad, 1, 0), None, None
 
 
-forward_sum_skip_loss.defvjp(_fss_fwd, _fss_bwd)
+_fss_cvjp.defvjp(_fss_fwd, _fss_bwd)
 
 
 def expand_tokens_with_pauses(tokens, text_lengths, pause_id: int):
@@ -392,9 +436,11 @@ def expand_prior_to_states(log_prior, t_x, mode: str = "inherit"):
 
 def mas_skip_path_frame_major(logp, t_x, t_y, *,
                               implementation: str = "auto",
-                              max_neg_val: float = MAX_NEG_VAL):
+                              max_neg_val: float = MAX_NEG_VAL,
+                              enter_cost: float = 0.0):
     """Hard pause-aware path in frame-major layout: logp [B, T_y, T_s]
-    -> 0/1 path [B, T_y, T_s] (Pallas on TPU, lax elsewhere)."""
+    -> 0/1 path [B, T_y, T_s] (Pallas on TPU, lax elsewhere).
+    enter_cost: log-cost per pause entered (module docstring)."""
     if implementation == "auto":
         implementation = ("pallas"
                           if jax.default_backend() in ("tpu", "axon")
@@ -402,9 +448,11 @@ def mas_skip_path_frame_major(logp, t_x, t_y, *,
     v_sm = jnp.transpose(logp.astype(jnp.float32), (0, 2, 1))
     if implementation == "pallas":
         from .skip_dp_pallas import mas_skip_pallas
-        path = mas_skip_pallas(v_sm, t_x, t_y, max_neg_val=max_neg_val)
+        path = mas_skip_pallas(v_sm, t_x, t_y, max_neg_val=max_neg_val,
+                               enter_cost=enter_cost)
     elif implementation == "lax":
-        path = mas_skip_lax(v_sm, t_x, t_y, max_neg_val=max_neg_val)
+        path = mas_skip_lax(v_sm, t_x, t_y, max_neg_val=max_neg_val,
+                            enter_cost=enter_cost)
     else:
         raise ValueError(f"unknown implementation: {implementation!r}")
     return jnp.transpose(path, (0, 2, 1))

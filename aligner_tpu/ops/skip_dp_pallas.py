@@ -47,7 +47,20 @@ def _skip_mask(B, T_s):
     return s, (s % 2 == 1) & (s >= 3)
 
 
-def _viterbi_pair_step(prev, c1, c2, y1, ty, s, max_neg_val):
+def _enter_rows(s, enter_cost: float):
+    """Static per-lane pause-entry costs: (ce, co) with ce = cost on
+    even destination states (advance into a pause) and co = cost on odd
+    ones shifted by one (i.e. even(s-1)). Zero rows when the cost is 0
+    (the `if enter_cost` call-site gates keep the traced program
+    byte-identical to the cost-free kernels)."""
+    c = jnp.float32(enter_cost)
+    ce = jnp.where(s % 2 == 0, c, 0.0)
+    co = jnp.where(s % 2 == 1, c, 0.0)
+    return ce, co
+
+
+def _viterbi_pair_step(prev, c1, c2, y1, ty, s, max_neg_val,
+                       enter_cost: float = 0.0):
     """Two composed skip-Viterbi frames (columns c1 then c2): nine
     (m1, m2) move-pair candidates over moves {stay, advance, skip-2},
     with each move's validity mask evaluated at its destination state
@@ -57,6 +70,11 @@ def _viterbi_pair_step(prev, c1, c2, y1, ty, s, max_neg_val):
     are never re-associated). The y == 0 initialisation and the
     per-item y >= t_y freeze are handled by explicit selects against
     the (off-chain) single-step results.
+
+    enter_cost: per-pause-entry cost — added to each advance-into-even
+    candidate IN the sequential position the per-frame kernel adds it
+    (first-move costs before the c1 shift-column, second-move costs
+    after), so pair and per-frame routes stay bit-identical.
 
     Returns (trit1, trit2 int8 move emissions, new carry column)."""
     shr = _shift_right
@@ -76,16 +94,41 @@ def _viterbi_pair_step(prev, c1, c2, y1, ty, s, max_neg_val):
     def sel(mask, r):
         return jnp.where(mask, r, max_neg_val)
 
+    if enter_cost != 0.0:
+        ce, co = _enter_rows(s, enter_cost)
+
+        def add_e(v):           # second-move advance-into-even cost
+            return v + ce
+
+        def sel_e(mask, r):     # cost-then-mask advance candidate
+            return jnp.where(mask, r + ce, max_neg_val)
+    else:
+        def add_e(v):
+            return v
+
+        def sel_e(mask, r):
+            return jnp.where(mask, r, max_neg_val)
+
     # (m1, m2) candidates; per-path value keeps the sequential
-    # left-to-right addition order.
+    # left-to-right addition order (entry costs included).
+    if enter_cost != 0.0:
+        # cost-then-mask, so sentinel lanes stay exactly max_neg_val
+        # (matching the per-frame kernel and the lax oracle)
+        t10_base = sel(m1_s, r1 + ce)
+        t11_base = sel(m1_s & m1_s1, r2 + co)
+        t12_base = sel(m2_s & m1_s2, r3 + ce)
+    else:
+        t10_base = sel(m1_s, r1)
+        t11_base = sel(m1_s & m1_s1, r2)
+        t12_base = sel(m2_s & m1_s2, r3)
     t00 = prev + c1
-    t10 = sel(m1_s, r1) + c1
+    t10 = t10_base + c1
     t20 = sel(m2_s, r2) + c1
-    t01 = sel(m1_s, r1) + c1s1
-    t11 = sel(m1_s & m1_s1, r2) + c1s1
-    t21 = sel(m1_s & m2_s1, r3) + c1s1
+    t01 = add_e(sel(m1_s, r1) + c1s1)
+    t11 = add_e(t11_base + c1s1)
+    t21 = add_e(sel(m1_s & m2_s1, r3) + c1s1)
     t02 = sel(m2_s, r2) + c1s2
-    t12 = sel(m2_s & m1_s2, r3) + c1s2
+    t12 = t12_base + c1s2
     t22 = sel(m2_s & m2_s2, r4) + c1s2
     u2_active = jnp.maximum(
         jnp.maximum(jnp.maximum(jnp.maximum(t00, t10), jnp.maximum(t20, t01)),
@@ -94,18 +137,24 @@ def _viterbi_pair_step(prev, c1, c2, y1, ty, s, max_neg_val):
 
     # intermediate column u1 (exact sequential value; off the carry
     # chain — the shifts it needs are already computed)
-    p1 = sel(m1_s, r1)
+    p1 = t10_base                              # sel(m1_s, r1) [+ ce]
     p2 = sel(m2_s, r2)
     best1_1 = jnp.maximum(prev, p1)
     u1_active = jnp.maximum(best1_1, p2) + c1
-    init1 = jnp.where(s < 2, c1, max_neg_val)
+    if enter_cost != 0.0:
+        init1 = jnp.where(s < 2,
+                          jnp.where(s == 0, c1 + jnp.float32(enter_cost),
+                                    c1),
+                          max_neg_val)
+    else:
+        init1 = jnp.where(s < 2, c1, max_neg_val)
     u1 = jnp.where(y1 == 0, init1,
                    jnp.where(y1 < ty, u1_active, prev))
 
     # y1 == 0 fallback for u2: one plain step from the init column
     # (all operands are c1-derived — off-chain)
     u2_from_init = jnp.maximum(
-        jnp.maximum(init1, sel(m1_s, shr(init1, 1))),
+        jnp.maximum(init1, sel_e(m1_s, shr(init1, 1))),
         sel(m2_s, shr(init1, 2))) + c2
     u2 = jnp.where(y2 < ty,
                    jnp.where(y1 == 0, u2_from_init,
@@ -119,7 +168,7 @@ def _viterbi_pair_step(prev, c1, c2, y1, ty, s, max_neg_val):
     gate1 = ((y1 < ty) & (y1 != 0)).astype(jnp.float32)
     trit1 = ((take1_1 + 2.0 * take2_1) * gate1).astype(jnp.int8)
 
-    q1 = sel(m1_s, shr(u1, 1))
+    q1 = sel_e(m1_s, shr(u1, 1))
     q2 = sel(m2_s, shr(u1, 2))
     best1_2 = jnp.maximum(u1, q1)
     take2_2 = (q2 > best1_2).astype(jnp.float32)
@@ -130,7 +179,8 @@ def _viterbi_pair_step(prev, c1, c2, y1, ty, s, max_neg_val):
 
 
 def _viterbi_fwd_kernel(ty_ref, val_ref, moves_ref, final_ref, carry_ref,
-                        *, max_neg_val: float, pair: bool = False):
+                        *, max_neg_val: float, pair: bool = False,
+                        enter_cost: float = 0.0):
     chunk = val_ref.shape[0]
     B, T_s = carry_ref.shape
     i = pl.program_id(0)
@@ -139,6 +189,8 @@ def _viterbi_fwd_kernel(ty_ref, val_ref, moves_ref, final_ref, carry_ref,
     s, can_skip = _skip_mask(B, T_s)
     s_is_0 = s == 0
     s_lt_2 = s < 2
+    if enter_cost != 0.0:
+        ce, _ = _enter_rows(s, enter_cost)
 
     @pl.when(i == 0)
     def _():
@@ -149,7 +201,10 @@ def _viterbi_fwd_kernel(ty_ref, val_ref, moves_ref, final_ref, carry_ref,
         col = val_ref[j]
         # zero-pad concat shifts (see mas_pallas helper comment); the
         # shifted-in lanes are masked here anyway.
-        p1 = jnp.where(s_is_0, max_neg_val, _shift_right(prev, 1))
+        p1 = _shift_right(prev, 1)
+        if enter_cost != 0.0:
+            p1 = p1 + ce          # before the s==0 mask, like the oracle
+        p1 = jnp.where(s_is_0, max_neg_val, p1)
         p2 = jnp.where(can_skip, _shift_right(prev, 2), max_neg_val)
         best1 = jnp.maximum(prev, p1)
         best = jnp.maximum(best1, p2)
@@ -160,9 +215,12 @@ def _viterbi_fwd_kernel(ty_ref, val_ref, moves_ref, final_ref, carry_ref,
         gate = ((y < ty) & (y != 0)).astype(jnp.float32)
         moves_ref[j] = ((take1 + 2.0 * take2) * gate).astype(jnp.int8)
         new = best + col
-        # y == 0: only the start states {0, 1} are live, no transitions.
-        new = jnp.where(y == 0,
-                        jnp.where(s_lt_2, col, max_neg_val), new)
+        # y == 0: only the start states {0, 1} are live, no transitions
+        # (the leading pause, state 0, is an entry).
+        init = jnp.where(s_lt_2, col, max_neg_val)
+        if enter_cost != 0.0:
+            init = jnp.where(s_is_0, col + jnp.float32(enter_cost), init)
+        new = jnp.where(y == 0, init, new)
         # freeze past each item's last frame (the final column must be
         # the carry at frame t_y - 1 for the start-state choice)
         return jnp.where(y < ty, new, prev)
@@ -171,7 +229,7 @@ def _viterbi_fwd_kernel(ty_ref, val_ref, moves_ref, final_ref, carry_ref,
         j = 2 * jj
         trit1, trit2, new = _viterbi_pair_step(
             prev, val_ref[j], val_ref[j + 1], i * chunk + j, ty, s,
-            max_neg_val)
+            max_neg_val, enter_cost=enter_cost)
         moves_ref[j] = trit1
         moves_ref[j + 1] = trit2
         return new
@@ -263,15 +321,18 @@ def _viterbi_bwd_kernel(ty_ref, ind0_ref, moves_ref, path_ref, ind_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "max_neg_val", "pair"))
+                   static_argnames=("interpret", "max_neg_val", "pair",
+                                    "enter_cost"))
 def mas_skip_pallas(value, t_x, t_y, *, interpret: bool | None = None,
                     max_neg_val: float = MAX_NEG_VAL,
-                    pair: bool | None = None):
+                    pair: bool | None = None,
+                    enter_cost: float = 0.0):
     """Batched pause-aware Viterbi on TPU. value: [B, T_s, T_y] f32
     (state-major, T_s >= 2*max(t_x)+1); t_x, t_y: [B] int32. Returns 0/1
     paths [B, T_s, T_y] f32, identical to skip_dp.mas_skip_lax.
     pair: None enables the two-frame composed sweeps in the latency
-    regime (B*T_s <= SKIP_PAIR_MAX_ELEMS); True/False force."""
+    regime (B*T_s <= SKIP_PAIR_MAX_ELEMS); True/False force.
+    enter_cost: static log-cost per pause entered (skip_dp docstring)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     B, T_s, T_y0 = value.shape
@@ -289,7 +350,8 @@ def mas_skip_pallas(value, t_x, t_y, *, interpret: bool | None = None,
                                        memory_space=pltpu.VMEM)
     moves, final = pl.pallas_call(
         functools.partial(_viterbi_fwd_kernel, max_neg_val=max_neg_val,
-                          pair=pair and chunk % 2 == 0),
+                          pair=pair and chunk % 2 == 0,
+                          enter_cost=enter_cost),
         grid=(grid,),
         in_specs=[len_spec, seq_spec(lambda i: (i, 0, 0))],
         out_specs=(seq_spec(lambda i: (i, 0, 0)), len_spec),
@@ -326,7 +388,8 @@ def mas_skip_pallas(value, t_x, t_y, *, interpret: bool | None = None,
     return jnp.transpose(path[:T_y0], (1, 2, 0)).astype(jnp.float32)
 
 
-def _alpha_skip_pair_step(prev, c1, c2, y1, ty, s):
+def _alpha_skip_pair_step(prev, c1, c2, y1, ty, s,
+                          enter_cost: float = 0.0):
     """Two composed skip-lattice forward-sum frames: the nested
     three-arm logaddexp tree over two frames expands to one flat,
     max-stabilised 9-term logsumexp — the same nine (m1, m2) move-pair
@@ -355,14 +418,36 @@ def _alpha_skip_pair_step(prev, c1, c2, y1, ty, s):
     # nesting does — while inner masks sit inside the +c1-shift sum.
     # The surplus masked terms use 2*NEG so a dead cell contributes one
     # e^{NEG} like the sequential form (the rest underflow to zero).
+    if enter_cost != 0.0:
+        ce, co = _enter_rows(s, enter_cost)
+        first = jnp.where(s == 0, first + jnp.float32(enter_cost), first)
+
+        def sel_e(mask, r):     # advance candidate, cost-then-mask
+            return jnp.where(mask, r + ce, NEG)
+
+        def add_e(v):           # second-move advance-into-even cost
+            return v + ce
+
+        def add_o(v):           # first-move advance into s-1 (odd->even)
+            return v + co
+    else:
+        sel_e = sel
+
+        def add_e(v):
+            return v
+        add_o = add_e
+
+    # Entry costs sit at the same sequential positions as the Viterbi
+    # pair: first-move costs on the prev shifts, second-move costs after
+    # the c1-shift sums.
     T = [prev + c1,
-         sel(m1_s, r1) + c1,
+         sel_e(m1_s, r1) + c1,
          sel(m2_s, r2) + c1,
-         jnp.where(m1_s, r1 + c1s1, NEG),
-         jnp.where(m1_s, sel(m1_s1, r2) + c1s1, 2.0 * NEG),
-         jnp.where(m1_s, sel(m2_s1, r3) + c1s1, 2.0 * NEG),
+         jnp.where(m1_s, add_e(r1 + c1s1), NEG),
+         jnp.where(m1_s, add_e(add_o(sel(m1_s1, r2)) + c1s1), 2.0 * NEG),
+         jnp.where(m1_s, add_e(sel(m2_s1, r3) + c1s1), 2.0 * NEG),
          jnp.where(m2_s, r2 + c1s2, NEG),
-         jnp.where(m2_s, sel(m1_s2, r3) + c1s2, 2.0 * NEG),
+         jnp.where(m2_s, sel_e(m1_s2, r3) + c1s2, 2.0 * NEG),
          jnp.where(m2_s, sel(m2_s2, r4) + c1s2, 2.0 * NEG)]
     mx = T[0]
     for t in T[1:]:
@@ -372,14 +457,14 @@ def _alpha_skip_pair_step(prev, c1, c2, y1, ty, s):
         ssum = ssum + jnp.exp(t - mx)
     a2_active = c2 + (mx + jnp.log(ssum))
 
-    p1 = sel(m1_s, r1)
+    p1 = sel_e(m1_s, r1)
     p2 = sel(m2_s, r2)
     a1_active = c1 + jnp.logaddexp(jnp.logaddexp(prev, p1), p2)
     init1 = c1 + first
     a1 = jnp.where(y1 == 0, init1,
                    jnp.where(y1 < ty, a1_active, prev))
     a2_init = c2 + jnp.logaddexp(
-        jnp.logaddexp(init1, sel(m1_s, shr(init1, 1))),
+        jnp.logaddexp(init1, sel_e(m1_s, shr(init1, 1))),
         sel(m2_s, shr(init1, 2)))
     a2 = jnp.where(y2 < ty,
                    jnp.where(y1 == 0, a2_init,
@@ -389,7 +474,7 @@ def _alpha_skip_pair_step(prev, c1, c2, y1, ty, s):
 
 
 def _alpha_skip_kernel(ty_ref, lp_ref, alpha_ref, carry_ref,
-                       *, pair: bool = False):
+                       *, pair: bool = False, enter_cost: float = 0.0):
     chunk = lp_ref.shape[0]
     B, T_s = carry_ref.shape
     i = pl.program_id(0)
@@ -397,6 +482,9 @@ def _alpha_skip_kernel(ty_ref, lp_ref, alpha_ref, carry_ref,
     s, can_skip = _skip_mask(B, T_s)
     s_is_0 = s == 0
     first = jnp.where(s < 2, 0.0, NEG)
+    if enter_cost != 0.0:
+        ce, _ = _enter_rows(s, enter_cost)
+        first = jnp.where(s_is_0, first + jnp.float32(enter_cost), first)
 
     @pl.when(i == 0)
     def _():
@@ -405,7 +493,10 @@ def _alpha_skip_kernel(ty_ref, lp_ref, alpha_ref, carry_ref,
     def body(j, prev):
         y = i * chunk + j
         col = lp_ref[j]
-        p1 = jnp.where(s_is_0, NEG, _shift_right(prev, 1))
+        p1 = _shift_right(prev, 1)
+        if enter_cost != 0.0:
+            p1 = p1 + ce          # before the s==0 mask, like the oracle
+        p1 = jnp.where(s_is_0, NEG, p1)
         p2 = jnp.where(can_skip, _shift_right(prev, 2), NEG)
         inner = jnp.logaddexp(jnp.logaddexp(prev, p1), p2)
         alpha = col + jnp.where(y == 0, first, inner)
@@ -416,7 +507,8 @@ def _alpha_skip_kernel(ty_ref, lp_ref, alpha_ref, carry_ref,
     def pair_body(jj, prev):
         j = 2 * jj
         a1, a2 = _alpha_skip_pair_step(prev, lp_ref[j], lp_ref[j + 1],
-                                       i * chunk + j, ty, s)
+                                       i * chunk + j, ty, s,
+                                       enter_cost=enter_cost)
         alpha_ref[j] = a1
         alpha_ref[j + 1] = a2
         return a2
@@ -430,9 +522,11 @@ def _alpha_skip_kernel(ty_ref, lp_ref, alpha_ref, carry_ref,
 
 
 def _gamma_skip_kernel(ts_ref, ty_ref, total_ref, lp_ref, alpha_ref,
-                       grad_ref, carry_ref):
+                       grad_ref, carry_ref, *, enter_cost: float = 0.0):
     """Fused beta sweep + posterior emission. Carry M[y] = lp[y] +
-    beta[y]. Skip arcs leave odd states s with s + 2 < ts."""
+    beta[y]. Skip arcs leave odd states s with s + 2 < ts. The
+    advance arc s -> s+1 enters a pause iff s+1 is even, so the
+    enter_cost lands on odd source states (mirrors _beta_scan_skip)."""
     chunk = lp_ref.shape[0]
     B, T_s = carry_ref.shape
     i = pl.program_id(0)
@@ -460,6 +554,8 @@ def _gamma_skip_kernel(ts_ref, ty_ref, total_ref, lp_ref, alpha_ref,
         lp = lp_ref[j]
         alpha = alpha_ref[j]
         m1 = _shift_left(m_next, 1)
+        if enter_cost != 0.0:
+            m1 = jnp.where(s_odd, m1 + jnp.float32(enter_cost), m1)
         m1 = jnp.where(s + 1 < ts, m1, NEG)
         m2 = _shift_left(m_next, 2)
         m2 = jnp.where(s_odd & (s + 2 < ts), m2, NEG)
@@ -477,11 +573,13 @@ def _gamma_skip_kernel(ts_ref, ty_ref, total_ref, lp_ref, alpha_ref,
 
 
 def forward_sum_skip_alpha_pallas(lp_tm, t_y, *, interpret: bool = False,
-                                  pair: bool | None = None):
+                                  pair: bool | None = None,
+                                  enter_cost: float = 0.0):
     """lp_tm: [T_y, B, T_s] pre-masked log-probs. Returns alphas
     [T_y, B, T_s] (frame t_y-1's column persists to the last row).
     pair: None enables the two-frame composed sweep in the latency
-    regime (B*T_s <= SKIP_PAIR_MAX_ELEMS); True/False force."""
+    regime (B*T_s <= SKIP_PAIR_MAX_ELEMS); True/False force.
+    enter_cost: static log-cost per pause entered (skip_dp docstring)."""
     lp_tm, T_y0 = _pad_frames(lp_tm)
     T_y, B, T_s = lp_tm.shape
     chunk = _pick_chunk(T_y, B, T_s)
@@ -493,7 +591,8 @@ def forward_sum_skip_alpha_pallas(lp_tm, t_y, *, interpret: bool = False,
                             memory_space=pltpu.VMEM)
     alphas = pl.pallas_call(
         functools.partial(_alpha_skip_kernel,
-                          pair=pair and chunk % 2 == 0),
+                          pair=pair and chunk % 2 == 0,
+                          enter_cost=enter_cost),
         grid=(grid,),
         in_specs=[len_spec,
                   pl.BlockSpec((chunk, B, T_s), lambda i: (i, 0, 0),
@@ -508,7 +607,8 @@ def forward_sum_skip_alpha_pallas(lp_tm, t_y, *, interpret: bool = False,
 
 
 def forward_sum_skip_gamma_pallas(lp_tm, alphas, total, t_x, t_y,
-                                  *, interpret: bool = False):
+                                  *, interpret: bool = False,
+                                  enter_cost: float = 0.0):
     """Posterior occupancy gamma [T_y, B, T_s] via the fused beta sweep."""
     lp_tm, T_y0 = _pad_frames(lp_tm)
     alphas, _ = _pad_frames(alphas)
@@ -526,7 +626,7 @@ def forward_sum_skip_gamma_pallas(lp_tm, alphas, total, t_x, t_y,
     seq = lambda: pl.BlockSpec((chunk, B, T_s), rev,
                                memory_space=pltpu.VMEM)
     gamma = pl.pallas_call(
-        _gamma_skip_kernel,
+        functools.partial(_gamma_skip_kernel, enter_cost=enter_cost),
         grid=(grid,),
         in_specs=[len_spec, len_spec, len_spec, seq(), seq()],
         out_specs=seq(),

@@ -270,3 +270,143 @@ def test_forward_sum_skip_pallas_matches_lax(seed, pair):
     g_lax = np.where(in_range, g_lax, 0.0)
     np.testing.assert_allclose(np.asarray(g_pl), g_lax,
                                rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Pause entry cost (round 4: pause-count prior / serving precision knob)
+# ---------------------------------------------------------------------------
+
+def _n_pauses(path_states):
+    return len({s for s in path_states if s % 2 == 0})
+
+
+@pytest.mark.parametrize("t_x,t_y,cost", [
+    (2, 4, -1.5), (3, 5, -0.7), (3, 7, 0.9), (2, 2, -2.0),
+])
+def test_enter_cost_semantics_brute_force(t_x, t_y, cost):
+    """enter_cost adds exactly cost * (#pauses used) to every path score
+    (a monotonic path enters each pause once), for both the Viterbi
+    argmax and the forward-sum marginal."""
+    rng = np.random.default_rng(t_x * 10 + t_y)
+    T_s = 2 * t_x + 1
+    v = rng.standard_normal((T_s + 2, t_y + 3)).astype(np.float32)
+    paths = list(all_skip_paths(t_x, t_y))
+    scores = [sum(v[s, y] for y, s in enumerate(p)) + cost * _n_pauses(p)
+              for p in paths]
+    best = paths[int(np.argmax(scores))]
+
+    got = mas_skip_single(v.copy(), t_x, t_y, enter_cost=cost)
+    got_states = [int(np.argmax(got[:, y])) for y in range(t_y)]
+    assert got_states == list(best)
+
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(v), axis=0))
+    lscores = [sum(lp[s, y] for y, s in enumerate(p))
+               + cost * _n_pauses(p) for p in paths]
+    want = float(np.logaddexp.reduce(lscores))
+    np.testing.assert_allclose(
+        forward_sum_skip_numpy(lp, t_x, t_y, enter_cost=cost), want,
+        rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("cost", [-1.5, 0.8])
+def test_enter_cost_lax_matches_oracle(cost):
+    rng = np.random.default_rng(101)
+    B, T_s, T_y = 5, 13, 19
+    v = rng.standard_normal((B, T_s, T_y)).astype(np.float32)
+    t_x = np.array([6, 4, 1, 5, 3], np.int32)
+    t_y = np.array([19, 12, 7, 16, 3], np.int32)
+    got = np.asarray(mas_skip_lax(jnp.asarray(v), jnp.asarray(t_x),
+                                  jnp.asarray(t_y), enter_cost=cost))
+    for i in range(B):
+        want = mas_skip_single(v[i], int(t_x[i]), int(t_y[i]),
+                               enter_cost=cost)
+        np.testing.assert_array_equal(got[i], want)
+
+
+@pytest.mark.parametrize("pair", [False, True])
+@pytest.mark.parametrize("cost", [-1.2, 0.6])
+def test_enter_cost_pallas_matches_lax(cost, pair):
+    from aligner_tpu.ops.skip_dp_pallas import mas_skip_pallas
+
+    rng = np.random.default_rng(103)
+    B, T_s, T_y = 4, 11, 24
+    v = rng.standard_normal((B, T_s, T_y)).astype(np.float32)
+    t_x = jnp.asarray(np.array([5, 3, 1, 4], np.int32))
+    t_y = jnp.asarray(np.array([24, 15, 9, 20], np.int32))
+    got = np.asarray(mas_skip_pallas(jnp.asarray(v), t_x, t_y,
+                                     interpret=True, pair=pair,
+                                     enter_cost=cost))
+    want = np.asarray(mas_skip_lax(jnp.asarray(v), t_x, t_y,
+                                   enter_cost=cost))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("pair", [False, True])
+def test_enter_cost_forward_sum_pallas_matches_lax(pair):
+    from aligner_tpu.ops.skip_dp import (_alpha_scan_skip,
+                                         _beta_scan_skip,
+                                         _masked_logp_skip,
+                                         _total_from_alphas_skip)
+    from aligner_tpu.ops.skip_dp_pallas import (
+        forward_sum_skip_alpha_pallas, forward_sum_skip_gamma_pallas)
+
+    cost = -1.3
+    rng = np.random.default_rng(107)
+    B, T_s, T_y = 3, 11, 24
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((B, T_y, T_s)).astype(np.float32)),
+        axis=2)
+    t_x = jnp.asarray(np.array([5, 3, 4], np.int32))
+    t_y = jnp.asarray(np.array([24, 15, 20], np.int32))
+    lp_m = _masked_logp_skip(lp, t_x)
+    lp_tm = jnp.moveaxis(lp_m, 0, 1)
+    a_lax = _alpha_scan_skip(lp_tm, t_y, cost)
+    a_pal = forward_sum_skip_alpha_pallas(lp_tm, t_y, interpret=True,
+                                          pair=pair, enter_cost=cost)
+    live = np.asarray(a_lax) > 0.5 * -1e15
+    np.testing.assert_allclose(np.asarray(a_pal)[live],
+                               np.asarray(a_lax)[live],
+                               rtol=1e-5, atol=1e-5)
+    total = _total_from_alphas_skip(a_lax, t_x)
+    g_lax = jnp.exp(a_lax + _beta_scan_skip(lp_tm, t_x, t_y, cost)
+                    - total[None, :, None])
+    g_pal = forward_sum_skip_gamma_pallas(lp_tm, a_lax, total, t_x, t_y,
+                                          interpret=True, enter_cost=cost)
+    ys = np.arange(T_y)[:, None, None]
+    ss = np.arange(T_s)[None, None, :]
+    in_range = (ys < np.asarray(t_y)[None, :, None]) \
+        & (ss < np.asarray(n_states(t_x))[None, :, None])
+    np.testing.assert_allclose(np.asarray(g_pal)[in_range],
+                               np.asarray(g_lax)[in_range],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_enter_cost_grad_matches_plain_autodiff():
+    from aligner_tpu.ops.skip_dp import (_alpha_scan_skip,
+                                         _masked_logp_skip,
+                                         _total_from_alphas_skip,
+                                         _valid_items_skip)
+
+    rng = np.random.default_rng(109)
+    B, T_s, T_y = 4, 11, 17
+    v = rng.standard_normal((B, T_s, T_y)).astype(np.float32)
+    t_x = jnp.asarray(np.array([5, 4, 3, 5], np.int32))
+    t_y = jnp.asarray(np.array([17, 12, 9, 14], np.int32))
+    lp_fm = jnp.transpose(jax.nn.log_softmax(jnp.asarray(v), axis=1),
+                          (0, 2, 1))
+
+    def plain_loss(x, c):
+        lp = _masked_logp_skip(x.astype(jnp.float32), t_x)
+        lp_tm = jnp.moveaxis(lp, 0, 1)
+        alphas = _alpha_scan_skip(lp_tm, t_y, c)
+        valid = _valid_items_skip(t_x, t_y)
+        total = jnp.where(valid,
+                          _total_from_alphas_skip(alphas, t_x), 0.0)
+        return (-total).sum()
+
+    for c in (0.0, -1.5, 0.8):
+        g1 = jax.grad(lambda x: forward_sum_skip_loss(
+            x, t_x, t_y, enter_cost=c).sum())(lp_fm)
+        g2 = jax.grad(lambda x: plain_loss(x, c))(lp_fm)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-5)
