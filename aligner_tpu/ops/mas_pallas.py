@@ -1136,14 +1136,126 @@ def _backtrack_kernel_nat_cmp(tx_ref, ty_ref, bits_ref, path_ref,
     path_ref[:] = _cmp_emit(acc, Bb, T_x, chunk)
 
 
+def _backtrack_kernel_durs(tx_ref, ty_ref, bits_ref, dur_ref, ind_ref,
+                           acc_ref):
+    """Duration-form backtrack: walk the bits accumulating each token's
+    frame count in a [Bb, T_x] VMEM accumulator instead of writing path
+    rows. A MAS path is a monotone staircase (every token covers one
+    contiguous frame span), so the durations determine it exactly; the
+    caller rebuilds the 0/1 path with ONE XLA cumsum + broadcast-compare
+    pass. This removes the backtrack kernel's entire [B, T_x, T_y]
+    output traffic (134 MB at B=256) — the walk touches only the 33.5 MB
+    bit lattice — and moves the path write into a pure streaming XLA op.
+    The emit rows feeding the accumulator are off the indicator chain
+    (same property the cmp walk's lane-packing uses)."""
+    chunk = bits_ref.shape[0]
+    Bb, T_x = ind_ref.shape
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+
+    tx = tx_ref[:]
+    ty = ty_ref[:]
+    x = jax.lax.broadcasted_iota(jnp.int32, (Bb, T_x), 1)
+
+    @pl.when(i == 0)
+    def _():
+        valid = (tx >= 1) & (tx <= ty)
+        ind_ref[:] = ((x == tx - 1) & valid).astype(jnp.float32)
+        acc_ref[:] = jnp.zeros((Bb, T_x), jnp.float32)
+
+    base = (n - 1 - i) * chunk
+
+    def single_step(j, carry):
+        ind, acc = carry
+        emit, new = _bt_step(ind, bits_ref[j], base + j, ty, T_x)
+        return new, acc + emit
+
+    def pair_body(jj, carry):
+        ind, acc = carry
+        j_hi = chunk - 1 - (chunk % 2) - 2 * jj
+        p_hi, p_lo, new = _bt_pair(ind, bits_ref[j_hi],
+                                   bits_ref[j_hi - 1], base + j_hi, ty,
+                                   T_x)
+        return new, acc + (p_hi + p_lo)
+
+    carry = (ind_ref[:], acc_ref[:])
+    if chunk % 2:
+        carry = single_step(chunk - 1, carry)
+    if T_x >= 2:
+        carry = jax.lax.fori_loop(0, chunk // 2, pair_body, carry,
+                                  unroll=True)
+    else:
+        carry = jax.lax.fori_loop(
+            0, chunk // 2,
+            lambda jj, c: single_step(
+                chunk - 1 - (chunk % 2) - 2 * jj - 1,
+                single_step(chunk - 1 - (chunk % 2) - 2 * jj, c)),
+            carry, unroll=True)
+    ind_ref[:], acc_ref[:] = carry
+
+    @pl.when(i == n - 1)
+    def _():
+        dur_ref[:] = acc_ref[:]
+
+
+def mas_pallas_durations(bits, t_x, t_y, *, interpret: bool = False,
+                             batch_block: int | None = None,
+                             _chunk: int | None = None):
+    """Token durations from the bit lattice: int8 bits [T_yp, B, T_x] +
+    lengths -> f32 durations [B, T_x] (exact small integers; invalid
+    items all-zero). The duration walk's VMEM footprint is just the
+    double-buffered bits block + three [Bb, T_x] rows, so the batch
+    tile can be ~4x the path-emitting backtrack's."""
+    T_yp, B, T_x = bits.shape
+    chunk = _chunk or (128 if T_yp % 128 == 0 else T_yp)
+    bb = batch_block or _nat_batch_block(B, T_x, NAT_DUR_MAX_ELEMS)
+    if bb is None or B % bb:
+        raise ValueError(f"no usable batch tile for B = {B}")
+    tx_b = jnp.broadcast_to(t_x.astype(jnp.int32)[:, None], (B, T_x))
+    ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None], (B, T_x))
+    len_spec = pl.BlockSpec((bb, T_x), lambda b, i: (b, 0),
+                            memory_space=pltpu.VMEM)
+    n = T_yp // chunk
+    return pl.pallas_call(
+        _backtrack_kernel_durs,
+        grid=(B // bb, n),
+        in_specs=[
+            len_spec, len_spec,
+            pl.BlockSpec((chunk, bb, T_x), lambda b, i: (n - 1 - i, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=len_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T_x), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bb, T_x), jnp.float32),
+                        pltpu.VMEM((bb, T_x), jnp.float32)],
+        interpret=interpret,
+    )(tx_b, ty_b, bits)
+
+
+def path_from_durations(durs, T_y):
+    """[B, T_x] durations -> 0/1 f32 path [B, T_x, T_y] via cumsum +
+    broadcast compare (a pure streaming XLA pass; exact for integer
+    durations, which f32 holds exactly up to 2^24)."""
+    cum = jnp.cumsum(durs, axis=1)
+    start = cum - durs
+    ys = jnp.arange(T_y, dtype=jnp.float32)[None, None, :]
+    return ((ys >= start[..., None]) & (ys < cum[..., None])) \
+        .astype(jnp.float32)
+
+
 # Backtrack batch tile: the double-buffered f32 output blocks plus the
 # staging buffer and transpose intermediates run ~6x the bits block
 # (bb=64 was measured to OOM scoped VMEM at 24.3M), so the staged
 # form's tile budget is half the forward's. The compare form has no
 # staging buffer or transpose intermediates, so it keeps the forward's
-# budget.
+# budget. The duration walk reads only bits and writes a [Bb, T_x] row,
+# so its tile is gated by the bits block alone — but int8 blocks widen
+# to 32-bit in VMEM (measured: bb=256 allocates 30.8M for the
+# double-buffered [128, 256, 128] i8 block), so the tile budget matches
+# the cmp form's rather than 4x it.
 NAT_BT_MAX_ELEMS = 4096
 NAT_BT_CMP_MAX_ELEMS = 8192
+NAT_DUR_MAX_ELEMS = 8192
 
 
 def nat_bt_budget(form: str = "cmp") -> int:

@@ -397,3 +397,34 @@ def test_max_neg_val_kwarg_pallas_matches_lax():
         want = np.asarray(mas_lax(jnp.asarray(v), t_x, t_y,
                                   max_neg_val=mnv))
         np.testing.assert_array_equal(got, want)
+
+
+def test_duration_walk_matches_oracle_ragged():
+    """mas_pallas_durations + path_from_durations is bit-identical to
+    the oracle (a MAS path is a monotone staircase, so durations
+    determine it exactly); invalid items yield all-zero durations."""
+    from aligner_tpu.ops.mas_pallas import (mas_pallas_bits_nat,
+                                            mas_pallas_durations,
+                                            path_from_durations)
+
+    rng = np.random.default_rng(0)
+    B, T_x, T_y = 16, 16, 64
+    v = rng.standard_normal((B, T_x, T_y)).astype(np.float32)
+    t_x = rng.integers(1, T_x + 1, B).astype(np.int32)
+    t_y = np.maximum(rng.integers(1, T_y + 1, B), t_x).astype(np.int32)
+    t_x[3], t_y[3] = 10, 5   # invalid item
+    for i in range(B):       # sanitize padding like maximum_path does
+        v[i, t_x[i]:, :] = 0
+        v[i, :, t_y[i]:] = 0
+    bits = mas_pallas_bits_nat(jnp.asarray(v), interpret=True)
+    durs = mas_pallas_durations(bits, jnp.asarray(t_x), jnp.asarray(t_y),
+                                interpret=True)
+    path = np.asarray(path_from_durations(durs, bits.shape[0]))[:, :, :T_y]
+    d_np = np.asarray(durs)
+    for i in range(B):
+        if t_x[i] > t_y[i]:
+            assert path[i].sum() == 0 and d_np[i].sum() == 0
+            continue
+        want = mas_single(v[i], int(t_x[i]), int(t_y[i]))
+        np.testing.assert_array_equal(path[i], want)
+        np.testing.assert_array_equal(d_np[i], want.sum(-1))
