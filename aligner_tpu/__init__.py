@@ -9,8 +9,8 @@ loss, hard-path binarisation), and the MoBoAligner boundary-search variant.
 """
 from .ops.mas import mas_lax, maximum_path
 from .ops.mas_pallas import mas_pallas
-from .serving import BatchAligner
+from .serving import BatchAligner, SkipBatchAligner
 
 __version__ = "0.1.0"
-__all__ = ["BatchAligner", "mas_lax", "mas_pallas", "maximum_path",
-           "__version__"]
+__all__ = ["BatchAligner", "SkipBatchAligner", "mas_lax", "mas_pallas",
+           "maximum_path", "__version__"]
