@@ -128,6 +128,18 @@ def build_parser():
     p.add_argument("--pause-bias-anneal", type=int, default=None,
                    help="curriculum length in steps (default: "
                         "steps // 2)")
+    p.add_argument("--bin-start", type=int, default=None,
+                   help="binarisation CE start step (default steps//6; "
+                        "hard corpora measurably prefer ~steps//2 — the "
+                        "late-binarisation recipe, docs/design.md "
+                        "'placement swaps')")
+    p.add_argument("--bin-ramp", type=int, default=None,
+                   help="binarisation CE ramp length (default steps//3)")
+    p.add_argument("--pause-enter-cost", type=float, default=0.0,
+                   help="log-cost per pause entered (pause-count "
+                        "prior; measured to collapse pause usage as a "
+                        "training lever — prefer it at serving time, "
+                        "see SkipBatchAligner)")
     p = sub.add_parser("bench-mas", help="single-chip MAS micro-benchmark")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--t-text", type=int, default=128)
@@ -145,6 +157,10 @@ def build_parser():
     p.add_argument("--dim", type=int, default=192)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--temperature", type=float, default=0.05)
+    p.add_argument("--recon", action="store_true",
+                   help="enable the per-frame reconstruction auxiliary "
+                        "(the measured flagship recipe pairs it with "
+                        "--temperature 0.15)")
     p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--lr-schedule", choices=("constant", "cosine"),
                    default="constant")
@@ -260,7 +276,9 @@ def cmd_demo_pauses(args):
             vocab_size=cfg.vocab_size, n_mels=cfg.n_mels, dim=96,
             hidden=128, temperature=args.temperature,
             model_pauses=model_pauses, use_recon=True,
-            pause_prior=args.pause_prior, pause_bias=args.pause_bias))
+            pause_prior=args.pause_prior, pause_bias=args.pause_bias,
+            pause_enter_cost=(args.pause_enter_cost if model_pauses
+                              else 0.0)))
         apply_extra = None
         if model_pauses and args.pause_bias_start is not None \
                 and args.pause_bias_start != args.pause_bias:
@@ -277,7 +295,8 @@ def cmd_demo_pauses(args):
                 return {"pause_bias": start + (final - start) * frac}
         state, _ = train_aligner(
             model, batches, steps=args.steps, learning_rate=args.lr,
-            bin_start=args.steps // 6, bin_ramp=args.steps // 3,
+            bin_start=args.bin_start or args.steps // 6,
+            bin_ramp=args.bin_ramp or args.steps // 3,
             log_fn=lambda s: None, seed=_init_seed(args),
             apply_extra=apply_extra)
         f1s, pauses = [], []
@@ -520,7 +539,8 @@ def _file_model(args):
     tok = CharTokenizer()
     model = OTAAligner(OTAConfig(vocab_size=tok.vocab_size, dim=args.dim,
                                  hidden=args.hidden,
-                                 temperature=args.temperature))
+                                 temperature=args.temperature,
+                                 use_recon=getattr(args, "recon", False)))
     return tok, model
 
 

@@ -71,6 +71,18 @@ class OTAConfig:
     # label softmax: a per-frame occupancy cost (negative discourages
     # pauses from absorbing token frames; 0 = neutral).
     pause_bias: float = 0.0
+    # Static log-cost per pause ENTERED (applied on the skip-DP's
+    # advance-into-pause transitions, so it scales with the number of
+    # pauses used, not their length — a pause-count prior; negative
+    # suppresses spurious pauses). See ops.skip_dp's module docstring.
+    pause_enter_cost: float = 0.0
+    # Weight of the silence-anchor auxiliary (requires use_recon): pulls
+    # the pause key's decoded spectrum toward the batch's silence
+    # estimate (each utterance's minimum-energy frame). Round-4 lever
+    # for the hard-corpus pause-placement swaps (docs/design.md): a
+    # pause key that decodes to true silence stops speech frames from
+    # preferring the pause state one gap over. 0 disables.
+    pause_silence_anchor: float = 0.0
     # Mixed precision: "bfloat16" runs the encoders and the pairwise
     # energy matmul at MXU bf16 rate (params stay float32, flax
     # convention); the log-softmax, prior, forward-sum and MAS lattices
@@ -180,11 +192,13 @@ class OTAAligner(nn.Module):
             from ..ops.skip_dp import (forward_sum_skip_loss,
                                        mas_skip_path_frame_major,
                                        split_state_durations)
-            fs = forward_sum_skip_loss(logp, text_lengths, mel_lengths)
+            fs = forward_sum_skip_loss(logp, text_lengths, mel_lengths,
+                                       enter_cost=cfg.pause_enter_cost)
             hard = mas_skip_path_frame_major(
                 jax.lax.stop_gradient(logp), text_lengths, mel_lengths,
                 implementation=("auto" if cfg.mas_implementation == "auto"
-                                else cfg.mas_implementation))
+                                else cfg.mas_implementation),
+                enter_cost=cfg.pause_enter_cost)
         else:
             fs = forward_sum_loss(logp, text_lengths, mel_lengths)
             # Hard Viterbi binarisation on the prior-augmented lattice,
@@ -221,6 +235,24 @@ class OTAAligner(nn.Module):
             loss_recon = (jnp.sum(frame_mask * (recon - mel) ** 2)
                           / jnp.maximum(frame_mask.sum(), 1.0)
                           / cfg.n_mels)
+            if cfg.model_pauses and cfg.pause_silence_anchor:
+                # Silence anchor: the pause key should decode to the
+                # corpus's silence spectrum, not merely to "whatever
+                # reconstructs the frames the pause happened to grab" —
+                # on hard corpora the recon-only anchor lets the pause
+                # drift onto speech one gap over (placement swaps, see
+                # docs/design.md). Estimate silence per utterance as
+                # the minimum-energy valid frame; no labels needed.
+                energy = jnp.where(mel_mask > 0,
+                                   jnp.mean(mel, axis=-1), jnp.inf)
+                idx = jnp.argmin(energy, axis=1)                 # [B]
+                silence = jnp.take_along_axis(
+                    mel, idx[:, None, None], axis=1)[:, 0]       # [B,n_mels]
+                target = jax.lax.stop_gradient(jnp.mean(silence, axis=0))
+                dec_pause = decoded[:, T_x].astype(jnp.float32)  # [B,n_mels]
+                anchor = jnp.mean((dec_pause - target[None, :]) ** 2)
+                loss_recon = (loss_recon
+                              + cfg.pause_silence_anchor * anchor)
 
         out = {
             "loss_recon": loss_recon,
