@@ -1,0 +1,67 @@
+"""Score `aligner-tpu align` output against a wav corpus's ground
+truth (`durations_truth.json` from make_wav_corpus.py).
+
+    python scripts/score_wav_alignments.py corpus_dir durations.jsonl
+
+Prints one JSON line: mean boundary F1@2 / duration exact / MAE over
+the corpus. Token spans are scored pause-aware when the truth has
+pauses (the plain OTA model must absorb them, and is penalised for the
+edges it therefore misses — same convention as the demo metrics).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from aligner_tpu.utils.eval import token_boundary_f1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("corpus_dir")
+    ap.add_argument("alignments", help="durations.jsonl from `align`")
+    args = ap.parse_args()
+
+    truth = json.load(open(os.path.join(args.corpus_dir,
+                                        "durations_truth.json")))
+    f1s, exacts, maes = [], [], []
+    n = 0
+    for line in open(args.alignments):
+        rec = json.loads(line)
+        t = truth.get(rec["utt_id"])
+        if t is None:
+            continue
+        pred = np.asarray(rec["durations"])
+        want = np.asarray(t["durations"])
+        pauses = np.asarray(t["pauses"])
+        if len(pred) != len(want):
+            continue
+        # the mel frame count is total samples // hop + 1 (center
+        # padding); drop the surplus tail frame from the last token so
+        # exact/MAE compare like with like
+        surplus = pred.sum() - want.sum() - pauses.sum()
+        pred_adj = pred.copy()
+        pred_adj[-1] = max(pred_adj[-1] - surplus, 0)
+        f1s.append(token_boundary_f1(
+            pred, want,
+            true_pauses=pauses if pauses.any() else None,
+            tolerance_frames=2)["f1"])
+        exacts.append(float((pred_adj == want).mean()))
+        maes.append(float(np.abs(pred_adj - want).mean()))
+        n += 1
+    print(json.dumps({
+        "corpus": args.corpus_dir, "n": n,
+        "boundary_f1_tol2": round(float(np.mean(f1s)), 3),
+        "duration_exact": round(float(np.mean(exacts)), 3),
+        "duration_mae": round(float(np.mean(maes)), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
