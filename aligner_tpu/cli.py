@@ -176,6 +176,13 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0,
                    help="init PRNG + batch-shuffle seed (recorded in "
                         "config.json)")
+    p.add_argument("--bin-start", type=int, default=None,
+                   help="binarisation CE start step (default steps//6). "
+                        "Corpora with smeared boundaries — coarticulated "
+                        "speech, wide STFT windows — measurably prefer "
+                        "~steps//2 (docs/design.md 'placement swaps')")
+    p.add_argument("--bin-ramp", type=int, default=None,
+                   help="binarisation CE ramp length (default steps//3)")
 
     p = sub.add_parser("align", help="emit durations for a wav corpus "
                                      "using a trained checkpoint")
@@ -616,8 +623,9 @@ def cmd_train(args):
         eval_batches, batches = batches[:n_eval], batches[n_eval:]
         print(f"holding out {n_eval} batches for validation")
     train_aligner(model, batches, steps=args.steps,
-                  learning_rate=args.lr, bin_start=args.steps // 6,
-                  bin_ramp=args.steps // 3,
+                  learning_rate=args.lr,
+                  bin_start=args.bin_start or args.steps // 6,
+                  bin_ramp=args.bin_ramp or args.steps // 3,
                   checkpoint_dir=args.checkpoint_dir,
                   config_extra={"tokenizer": type(tok).__name__},
                   warmup_steps=args.warmup_steps,

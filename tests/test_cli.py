@@ -69,7 +69,8 @@ def test_train_with_schedule_then_align(tmp_path, wav_corpus):
     main(["train", wav_corpus, "--steps", "3", "--batch-size", "4",
           "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24",
           "--lr-schedule", "cosine", "--warmup-steps", "1",
-          "--grad-clip", "1.0", "--eval-split", "0.25"])
+          "--grad-clip", "1.0", "--eval-split", "0.25",
+          "--bin-start", "2", "--bin-ramp", "1"])
     main(["align", wav_corpus, "--checkpoint-dir", ckpt, "--output", out,
           "--batch-size", "4"])
     recs = [json.loads(l) for l in open(out)]
