@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--t-text", type=int, default=128)
     ap.add_argument("--t-mel", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--compute-dtype", default="float32",
+                    help="OTAConfig.compute_dtype for the A/B "
+                         "(bfloat16 runs the encoders/energies in bf16; "
+                         "params and DPs stay f32)")
     args = ap.parse_args()
 
     from aligner_tpu.models import OTAAligner, OTAConfig
@@ -83,7 +87,8 @@ def main():
         "mel_lengths": jnp.asarray(rng.integers(T_y // 2, T_y + 1, B),
                                    jnp.int32),
     }
-    cfg = OTAConfig(vocab_size=100, dim=192, hidden=256)
+    cfg = OTAConfig(vocab_size=100, dim=192, hidden=256,
+                    compute_dtype=args.compute_dtype)
     model = OTAAligner(cfg)
     state = create_train_state(jax.random.PRNGKey(0), model, batch)
     params = state.params
@@ -93,12 +98,14 @@ def main():
         models/ota.py (kept in sync by the full-step cross-check below).
         """
         from aligner_tpu.utils.masks import sequence_mask
+        enc_dtype = (None if cfg.compute_dtype == "float32"
+                     else jnp.dtype(cfg.compute_dtype))
         mel_mask = sequence_mask(batch["mel_lengths"], T_y)
         text_mask = sequence_mask(batch["text_lengths"], T_x)
         keys = TextEncoder(cfg.vocab_size, cfg.dim, cfg.hidden,
-                           dtype=None).apply(
+                           dtype=enc_dtype).apply(
             {"params": p["text_encoder"]}, batch["tokens"], text_mask)
-        queries = MelEncoder(cfg.dim, cfg.hidden, dtype=None).apply(
+        queries = MelEncoder(cfg.dim, cfg.hidden, dtype=enc_dtype).apply(
             {"params": p["mel_encoder"]}, batch["mel"], mel_mask)
         qf = queries.astype(jnp.float32)
         kf = keys.astype(jnp.float32)
@@ -134,9 +141,9 @@ def main():
         fn = jax.jit(lambda p, s=stop: produce_log_attn(p, s))
         ladder[f"fwd:{stop}"] = measure_device_time(
             fn, params, iters=args.iters)
-    grad_full = jax.jit(jax.grad(lambda p: produce_log_attn(p, "full")))
-    ladder["grad:full"] = measure_device_time(grad_full, params,
-                                              iters=args.iters)
+        gfn = jax.jit(jax.grad(lambda p, s=stop: produce_log_attn(p, s)))
+        ladder[f"grad:{stop}"] = measure_device_time(
+            gfn, params, iters=args.iters)
 
     step = make_train_step(model, donate=False, bin_start=0, bin_ramp=1)
     full = measure_device_time(lambda s, b: step(s, b)[1]["loss"],
@@ -174,6 +181,13 @@ def main():
           f"{ms['train_step'] - ms['grad:full']:+.3f} | step - grad |")
     print(f"| **full train step** | **{ms['train_step']:.3f}** | "
           f"measured |")
+
+    print("\n## backward ladder (value_and_grad of each fwd prefix)\n")
+    print("| objective prefix | fwd ms | grad ms | bwd = grad - fwd |")
+    print("|---|---|---|---|")
+    for stop in ("attn", "prior", "fsum", "full"):
+        f, g = ms[f"fwd:{stop}"], ms[f"grad:{stop}"]
+        print(f"| {stop} | {f:.3f} | {g:.3f} | {g - f:+.3f} |")
     print(f"\nstandalone cross-checks: forward-sum loss+grad "
           f"{t_fs*1e3:.3f} ms, MAS {t_mas*1e3:.3f} ms")
 
