@@ -183,6 +183,30 @@ def build_parser():
                         "~steps//2 (docs/design.md 'placement swaps')")
     p.add_argument("--bin-ramp", type=int, default=None,
                    help="binarisation CE ramp length (default steps//3)")
+    p.add_argument("--model-pauses", action="store_true",
+                   help="train the pause-aware aligner: silences in the "
+                        "audio are absorbed by implicit pause states "
+                        "between tokens instead of being smeared into "
+                        "neighbouring token durations (the reference OTA "
+                        "branch's goal). Enables the reconstruction "
+                        "auxiliary (required — the forward-sum alone "
+                        "leaves optional states collapsed) and the "
+                        "pause-bias curriculum; `align` then also emits "
+                        "per-gap pause durations")
+    p.add_argument("--pause-prior", choices=("bridge", "inherit"),
+                   default="bridge",
+                   help="pause-state prior shape (see OTAConfig)")
+    p.add_argument("--pause-bias", type=float, default=0.0,
+                   help="final per-frame pause occupancy cost (log-odds)")
+    p.add_argument("--pause-bias-start", type=float, default=-3.0,
+                   help="curriculum start value for the pause bias (set "
+                        "equal to --pause-bias to disable the "
+                        "curriculum; see demo-pauses)")
+    p.add_argument("--pause-bias-anneal", type=int, default=None,
+                   help="curriculum length in steps (default steps//2)")
+    p.add_argument("--pause-enter-cost", type=float, default=0.0,
+                   help="log-cost per pause entered (serving-time "
+                        "precision knob; see docs/design.md)")
 
     p = sub.add_parser("align", help="emit durations for a wav corpus "
                                      "using a trained checkpoint")
@@ -544,10 +568,21 @@ def _file_model(args):
     from .models import OTAAligner, OTAConfig
 
     tok = CharTokenizer()
-    model = OTAAligner(OTAConfig(vocab_size=tok.vocab_size, dim=args.dim,
-                                 hidden=args.hidden,
-                                 temperature=args.temperature,
-                                 use_recon=getattr(args, "recon", False)))
+    model_pauses = getattr(args, "model_pauses", False)
+    use_recon = getattr(args, "recon", False)
+    if model_pauses and not use_recon:
+        # The pause key only learns the silence spectrum through the
+        # reconstruction auxiliary; without it the optional states
+        # collapse (measured — see demo-pauses / docs/design.md).
+        print("note: --model-pauses enables --recon")
+        use_recon = True
+    model = OTAAligner(OTAConfig(
+        vocab_size=tok.vocab_size, dim=args.dim, hidden=args.hidden,
+        temperature=args.temperature, use_recon=use_recon,
+        model_pauses=model_pauses,
+        pause_prior=getattr(args, "pause_prior", "bridge"),
+        pause_bias=getattr(args, "pause_bias", 0.0),
+        pause_enter_cost=getattr(args, "pause_enter_cost", 0.0)))
     return tok, model
 
 
@@ -622,6 +657,19 @@ def cmd_train(args):
         n_eval = min(n_eval, len(batches) - 1)
         eval_batches, batches = batches[:n_eval], batches[n_eval:]
         print(f"holding out {n_eval} batches for validation")
+    apply_extra = None
+    if args.model_pauses and args.pause_bias_start != args.pause_bias:
+        # Pause-bias curriculum (the measured seed-robustness recipe —
+        # see demo-pauses): anneal the occupancy cost from a strongly
+        # discouraging start so tokens claim their frames first.
+        import jax.numpy as jnp
+        anneal = args.pause_bias_anneal or args.steps // 2
+        start, final = args.pause_bias_start, args.pause_bias
+
+        def apply_extra(step_no):
+            frac = jnp.clip(step_no / max(anneal, 1), 0.0, 1.0)
+            return {"pause_bias": start + (final - start) * frac}
+
     train_aligner(model, batches, steps=args.steps,
                   learning_rate=args.lr,
                   bin_start=args.bin_start or args.steps // 6,
@@ -632,7 +680,8 @@ def cmd_train(args):
                   lr_schedule=args.lr_schedule,
                   grad_clip_norm=args.grad_clip,
                   eval_batches=eval_batches,
-                  resume=args.resume, seed=args.seed)
+                  resume=args.resume, seed=args.seed,
+                  apply_extra=apply_extra)
     print(f"checkpoints in {args.checkpoint_dir}")
 
 
@@ -664,9 +713,15 @@ def cmd_align(args):
                          first["mel_lengths"])["params"]
     params = restore_params(args.checkpoint_dir, params0)
 
-    apply_fn = jax.jit(lambda p, b: model.apply(
-        {"params": p}, b["tokens"], b["mel"], b["text_lengths"],
-        b["mel_lengths"])["durations"])
+    with_pauses = model.config.model_pauses
+
+    def _extract(p, b):
+        out = model.apply({"params": p}, b["tokens"], b["mel"],
+                          b["text_lengths"], b["mel_lengths"])
+        return (out["durations"], out["pause_durations"]) if with_pauses \
+            else (out["durations"], None)
+
+    apply_fn = jax.jit(_extract)
     if args.textgrid_dir:
         _os.makedirs(args.textgrid_dir, exist_ok=True)
     from .ops.mel import MelConfig
@@ -675,23 +730,43 @@ def cmd_align(args):
     with open(args.output, "w") as f:
         for b, group in batches:
             bj = {k: jnp.asarray(v) for k, v in b.items()}
-            durs = apply_fn(params, bj)
+            durs, pauses = apply_fn(params, bj)
             import numpy as _np
             durs = _np.asarray(durs)
+            pauses = None if pauses is None else _np.asarray(pauses)
             for i, item in enumerate(group):
                 t_x = int(b["text_lengths"][i])
                 d = durs[i, :t_x].astype(int).tolist()
-                f.write(_json.dumps({
+                rec = {
                     "utt_id": item["utt_id"],
                     "durations": d,
                     "n_frames": int(b["mel_lengths"][i]),
-                }) + "\n")
+                }
+                pp = None
+                if pauses is not None:
+                    pp = pauses[i, :t_x + 1].astype(int).tolist()
+                    rec["pauses"] = pp  # per-gap silence frames [t_x+1]
+                f.write(_json.dumps(rec) + "\n")
                 if args.textgrid_dir:
                     from .data.textgrid import write_textgrid
+                    tg_durs, tg_labels = d, list(item["text"][:t_x])
+                    if pp is not None:
+                        # Interleave non-empty pauses as unlabelled
+                        # intervals (the Praat silence convention).
+                        tg_durs, tg_labels = [], []
+                        for g in range(t_x):
+                            if pp[g] > 0:
+                                tg_durs.append(pp[g])
+                                tg_labels.append("")
+                            tg_durs.append(d[g])
+                            tg_labels.append(item["text"][g])
+                        if pp[t_x] > 0:
+                            tg_durs.append(pp[t_x])
+                            tg_labels.append("")
                     write_textgrid(
                         _os.path.join(args.textgrid_dir,
                                       f"{item['utt_id']}.TextGrid"),
-                        d, list(item["text"][:t_x]),
+                        tg_durs, tg_labels,
                         mel_cfg.hop_length, mel_cfg.sample_rate)
                 n += 1
     print(f"wrote {n} alignments to {args.output}")

@@ -19,7 +19,7 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from aligner_tpu.utils.eval import token_boundary_f1
+from aligner_tpu.utils.eval import pause_detection, token_boundary_f1
 
 
 def main():
@@ -30,7 +30,7 @@ def main():
 
     truth = json.load(open(os.path.join(args.corpus_dir,
                                         "durations_truth.json")))
-    f1s, exacts, maes = [], [], []
+    f1s, exacts, maes, pdet = [], [], [], []
     n = 0
     for line in open(args.alignments):
         rec = json.loads(line)
@@ -40,27 +40,39 @@ def main():
         pred = np.asarray(rec["durations"])
         want = np.asarray(t["durations"])
         pauses = np.asarray(t["pauses"])
+        pred_pauses = (np.asarray(rec["pauses"])
+                       if rec.get("pauses") is not None else None)
         if len(pred) != len(want):
             continue
         # the mel frame count is total samples // hop + 1 (center
         # padding); drop the surplus tail frame from the last token so
         # exact/MAE compare like with like
-        surplus = pred.sum() - want.sum() - pauses.sum()
+        surplus = (pred.sum() - want.sum() - pauses.sum()
+                   + (pred_pauses.sum() if pred_pauses is not None else 0))
         pred_adj = pred.copy()
         pred_adj[-1] = max(pred_adj[-1] - surplus, 0)
         f1s.append(token_boundary_f1(
-            pred, want,
+            pred, want, pred_pauses=pred_pauses,
             true_pauses=pauses if pauses.any() else None,
             tolerance_frames=2)["f1"])
         exacts.append(float((pred_adj == want).mean()))
         maes.append(float(np.abs(pred_adj - want).mean()))
+        if pred_pauses is not None and pauses.any():
+            pdet.append(pause_detection(pred_pauses, pauses))
         n += 1
-    print(json.dumps({
+    out = {
         "corpus": args.corpus_dir, "n": n,
         "boundary_f1_tol2": round(float(np.mean(f1s)), 3),
         "duration_exact": round(float(np.mean(exacts)), 3),
         "duration_mae": round(float(np.mean(maes)), 3),
-    }))
+    }
+    if pdet:
+        for k in ("precision", "recall"):
+            out[f"pause_{k}"] = round(float(np.nanmean(
+                [d[k] for d in pdet])), 3)
+        out["pause_length_mae"] = round(float(np.nanmean(
+            [d["length_mae"] for d in pdet])), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

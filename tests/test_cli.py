@@ -58,6 +58,33 @@ def test_train_then_align_roundtrip(tmp_path, wav_corpus):
               "--output", out])
 
 
+def test_train_pauses_then_align_roundtrip(tmp_path, wav_corpus):
+    """--model-pauses trains the pause-aware aligner from a wav corpus;
+    align then emits per-gap pause durations (JSONL + silence intervals
+    in the TextGrid) with frames conserved across tokens + pauses."""
+    from aligner_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "durations.jsonl")
+    tg = str(tmp_path / "tg")
+    main(["train", wav_corpus, "--steps", "3", "--batch-size", "4",
+          "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24",
+          "--model-pauses", "--pause-bias-anneal", "2"])
+    cfg = json.load(open(os.path.join(ckpt, "config.json")))
+    assert cfg["model_config"]["model_pauses"] is True
+    assert cfg["model_config"]["use_recon"] is True  # forced by pauses
+    # align rebuilds the pause-aware model from config.json alone
+    main(["align", wav_corpus, "--checkpoint-dir", ckpt, "--output", out,
+          "--textgrid-dir", tg, "--batch-size", "4"])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    for r in recs:
+        assert len(r["pauses"]) == len(r["durations"]) + 1
+        assert sum(r["durations"]) + sum(r["pauses"]) == r["n_frames"]
+    text = open(os.path.join(tg, "u0.TextGrid")).read()
+    assert 'class = "IntervalTier"' in text
+
+
 def test_train_with_schedule_then_align(tmp_path, wav_corpus):
     """align must work regardless of the training run's optimizer choice
     (schedule + clipping change the opt_state pytree; align restores
