@@ -223,6 +223,21 @@ def build_parser():
     p.add_argument("--dim", type=int, default=None)
     p.add_argument("--hidden", type=int, default=None)
     p.add_argument("--temperature", type=float, default=None)
+    # Decode-time pause knobs (pause-aware checkpoints only). These are
+    # static lattice costs, not parameters: overriding them at align
+    # time re-runs the skip DP under a different precision/recall
+    # trade-off with the same weights — the measured place to apply
+    # them (docs/design.md "decode-time levers"; training-time
+    # enter-cost collapses pause usage instead).
+    p.add_argument("--pause-enter-cost", type=float, default=None,
+                   help="override the per-pause-entered log-cost for "
+                        "this decode (negative suppresses spurious "
+                        "pauses — a pause-count precision knob; the "
+                        "checkpoint's trained value is the default)")
+    p.add_argument("--pause-bias", type=float, default=None,
+                   help="override the per-frame pause occupancy "
+                        "log-odds for this decode (negative shortens "
+                        "pauses; the checkpoint's value is the default)")
     return ap
 
 
@@ -586,6 +601,27 @@ def _file_model(args):
     return tok, model
 
 
+def _decode_pause_overrides(args, cfg):
+    """Overlay align's decode-time pause knobs on the checkpoint config.
+
+    `pause_enter_cost`/`pause_bias` are static costs in the skip-DP
+    lattice, not trained parameters, so overriding them at decode time
+    is well-defined: same weights, different pause precision/recall
+    operating point (see docs/design.md "decode-time levers")."""
+    import dataclasses as _dc
+    knobs = {k: getattr(args, k) for k in ("pause_enter_cost",
+                                           "pause_bias")
+             if getattr(args, k, None) is not None}
+    if not knobs:
+        return cfg
+    if not cfg.model_pauses:
+        names = "/".join("--" + k.replace("_", "-") for k in knobs)
+        raise SystemExit(
+            f"{names} requires a checkpoint trained with "
+            "--model-pauses (this one has no pause states to decode)")
+    return _dc.replace(cfg, **knobs)
+
+
 def _model_from_checkpoint(args):
     """Rebuild the trained model from the checkpoint's config.json.
 
@@ -609,9 +645,9 @@ def _model_from_checkpoint(args):
                 f"checkpoint); pass --{' --'.join(missing)} matching the "
                 "training run")
         tok = CharTokenizer()
-        return tok, OTAAligner(OTAConfig(
+        return tok, OTAAligner(_decode_pause_overrides(args, OTAConfig(
             vocab_size=tok.vocab_size, dim=args.dim, hidden=args.hidden,
-            temperature=args.temperature))
+            temperature=args.temperature)))
     cfg_dict = rec["model_config"]
     conflicts = {k: (v, cfg_dict.get(k)) for k, v in overrides.items()
                  if cfg_dict.get(k) != v}
@@ -633,7 +669,7 @@ def _model_from_checkpoint(args):
             f"checkpoint vocab_size {cfg.vocab_size} does not match the "
             f"CharTokenizer ({tok.vocab_size}); was it trained with a "
             "different tokenizer?")
-    return tok, OTAAligner(cfg)
+    return tok, OTAAligner(_decode_pause_overrides(args, cfg))
 
 
 def cmd_train(args):

@@ -83,6 +83,33 @@ def test_train_pauses_then_align_roundtrip(tmp_path, wav_corpus):
         assert sum(r["durations"]) + sum(r["pauses"]) == r["n_frames"]
     text = open(os.path.join(tg, "u0.TextGrid")).read()
     assert 'class = "IntervalTier"' in text
+    # Decode-time pause knobs: a strongly negative enter cost re-decodes
+    # the same weights with fewer pauses entered (monotone in the cost),
+    # frames still conserved.
+    out2 = str(tmp_path / "durations_suppressed.jsonl")
+    main(["align", wav_corpus, "--checkpoint-dir", ckpt, "--output", out2,
+          "--batch-size", "4", "--pause-enter-cost", "-50.0",
+          "--pause-bias", "-10.0"])
+    recs2 = [json.loads(l) for l in open(out2)]
+    base_n = sum(sum(1 for p in r["pauses"] if p) for r in recs)
+    supp_n = sum(sum(1 for p in r["pauses"] if p) for r in recs2)
+    assert supp_n <= base_n
+    for r in recs2:
+        assert sum(r["durations"]) + sum(r["pauses"]) == r["n_frames"]
+
+
+def test_align_pause_knobs_need_pause_checkpoint(tmp_path, wav_corpus):
+    """--pause-enter-cost/--pause-bias on a pause-blind checkpoint is a
+    loud error, not a silent no-op."""
+    from aligner_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    main(["train", wav_corpus, "--steps", "2", "--batch-size", "4",
+          "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24"])
+    with pytest.raises(SystemExit, match="--model-pauses"):
+        main(["align", wav_corpus, "--checkpoint-dir", ckpt,
+              "--output", str(tmp_path / "d.jsonl"),
+              "--pause-enter-cost", "-5.0"])
 
 
 def test_train_with_schedule_then_align(tmp_path, wav_corpus):
