@@ -157,6 +157,13 @@ def build_parser():
     p.add_argument("--dim", type=int, default=192)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--temperature", type=float, default=0.05)
+    p.add_argument("--tokenizer", choices=("char", "phone"),
+                   default="char",
+                   help="'phone' treats transcripts as space-separated "
+                        "symbol sequences (ARPAbet/IPA phone corpora) "
+                        "with a corpus-derived vocabulary persisted in "
+                        "config.json; 'char' (default) aligns raw "
+                        "characters")
     p.add_argument("--recon", action="store_true",
                    help="enable the per-frame reconstruction auxiliary "
                         "(the measured flagship recipe pairs it with "
@@ -578,11 +585,28 @@ def cmd_bench_mas(args):
     bench.main()
 
 
+def _make_tokenizer(args):
+    """Tokenizer for a file-corpus run. `--tokenizer phone` derives the
+    vocabulary from the corpus metadata (space-separated symbols; the
+    convention of phone-level TTS corpora) — it is persisted in
+    config.json so `align` reconstructs the exact id mapping."""
+    from .data import CharTokenizer, PhoneTokenizer
+
+    if getattr(args, "tokenizer", "char") == "phone":
+        from .data.files import load_metadata
+        tok = PhoneTokenizer.from_corpus(
+            t for _, t in load_metadata(args.corpus))
+        if not tok.phones:
+            raise SystemExit("--tokenizer phone: corpus metadata has no "
+                             "symbols to build a vocabulary from")
+        return tok
+    return CharTokenizer()
+
+
 def _file_model(args):
-    from .data import CharTokenizer
     from .models import OTAAligner, OTAConfig
 
-    tok = CharTokenizer()
+    tok = _make_tokenizer(args)
     model_pauses = getattr(args, "model_pauses", False)
     use_recon = getattr(args, "recon", False)
     if model_pauses and not use_recon:
@@ -662,13 +686,23 @@ def _model_from_checkpoint(args):
         raise SystemExit(
             f"checkpoint holds a {rec['model_class']} model; `align` "
             "currently drives the OTA aligner only")
-    tok = CharTokenizer()
+    if rec.get("tokenizer") == "PhoneTokenizer":
+        from .data import PhoneTokenizer
+        vocab = rec.get("tokenizer_vocab")
+        if vocab is None:
+            raise SystemExit(
+                "checkpoint was trained with a PhoneTokenizer but its "
+                "config.json records no tokenizer_vocab; retrain (the "
+                "vocab is corpus-derived and cannot be reconstructed)")
+        tok = PhoneTokenizer(phones=tuple(vocab))
+    else:
+        tok = CharTokenizer()
     cfg = OTAConfig(**cfg_dict)
     if cfg.vocab_size != tok.vocab_size:
         raise SystemExit(
             f"checkpoint vocab_size {cfg.vocab_size} does not match the "
-            f"CharTokenizer ({tok.vocab_size}); was it trained with a "
-            "different tokenizer?")
+            f"{type(tok).__name__} ({tok.vocab_size}); was it trained "
+            "with a different tokenizer?")
     return tok, OTAAligner(_decode_pause_overrides(args, cfg))
 
 
@@ -681,7 +715,8 @@ def cmd_train(args):
     if not _os.path.exists(_os.path.join(args.corpus, "metadata.csv")):
         raise SystemExit(f"no metadata.csv under {args.corpus}")
     tok, model = _file_model(args)
-    items = list(load_corpus(args.corpus, limit=args.limit))
+    items = list(load_corpus(args.corpus, tokenizer=tok,
+                             limit=args.limit))
     if not items:
         raise SystemExit(f"no usable utterances under {args.corpus}")
     print(f"loaded {len(items)} utterances")
@@ -711,7 +746,9 @@ def cmd_train(args):
                   bin_start=args.bin_start or args.steps // 6,
                   bin_ramp=args.bin_ramp or args.steps // 3,
                   checkpoint_dir=args.checkpoint_dir,
-                  config_extra={"tokenizer": type(tok).__name__},
+                  config_extra={"tokenizer": type(tok).__name__,
+                                **({"tokenizer_vocab": list(tok.phones)}
+                                   if hasattr(tok, "phones") else {})},
                   warmup_steps=args.warmup_steps,
                   lr_schedule=args.lr_schedule,
                   grad_clip_norm=args.grad_clip,
@@ -736,7 +773,8 @@ def cmd_align(args):
     if not _os.path.exists(_os.path.join(args.corpus, "metadata.csv")):
         raise SystemExit(f"no metadata.csv under {args.corpus}")
     tok, model = _model_from_checkpoint(args)
-    items = list(load_corpus(args.corpus, limit=args.limit))
+    items = list(load_corpus(args.corpus, tokenizer=tok,
+                             limit=args.limit))
     if not items:
         raise SystemExit(f"no usable utterances under {args.corpus}")
     batches = list(bucket_batches(items, args.batch_size,
@@ -785,7 +823,8 @@ def cmd_align(args):
                 f.write(_json.dumps(rec) + "\n")
                 if args.textgrid_dir:
                     from .data.textgrid import write_textgrid
-                    tg_durs, tg_labels = d, list(item["text"][:t_x])
+                    token_labels = tok.labels(item["text"])[:t_x]
+                    tg_durs, tg_labels = d, token_labels
                     if pp is not None:
                         # Interleave non-empty pauses as unlabelled
                         # intervals (the Praat silence convention).
@@ -795,7 +834,7 @@ def cmd_align(args):
                                 tg_durs.append(pp[g])
                                 tg_labels.append("")
                             tg_durs.append(d[g])
-                            tg_labels.append(item["text"][g])
+                            tg_labels.append(token_labels[g])
                         if pp[t_x] > 0:
                             tg_durs.append(pp[t_x])
                             tg_labels.append("")

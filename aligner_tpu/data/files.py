@@ -54,7 +54,7 @@ def load_metadata(root: str, filename: str = "metadata.csv"):
 
 
 def load_corpus(root: str, *, mel_config: MelConfig = MelConfig(),
-                tokenizer: CharTokenizer = CharTokenizer(),
+                tokenizer=CharTokenizer(),
                 wav_dir: str = "wavs", limit: int | None = None,
                 ) -> Iterator[dict]:
     """Yields alignment items: tokens [t_x] int32, mel [t_y, n_mels] f32,

@@ -112,6 +112,36 @@ def test_align_pause_knobs_need_pause_checkpoint(tmp_path, wav_corpus):
               "--pause-enter-cost", "-5.0"])
 
 
+def test_train_phone_tokenizer_then_align(tmp_path, wav_corpus):
+    """--tokenizer phone aligns space-separated symbols (one duration
+    per phone, not per character); the corpus-derived vocabulary rides
+    config.json so align reconstructs the exact id mapping."""
+    from aligner_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "durations.jsonl")
+    tg = str(tmp_path / "tg")
+    main(["train", wav_corpus, "--steps", "3", "--batch-size", "4",
+          "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24",
+          "--tokenizer", "phone"])
+    cfg = json.load(open(os.path.join(ckpt, "config.json")))
+    assert cfg["tokenizer"] == "PhoneTokenizer"
+    # corpus texts are "ab cd {u}" -> symbols {ab, cd, 0..3} (+pad/unk)
+    assert sorted(cfg["tokenizer_vocab"]) == cfg["tokenizer_vocab"]
+    assert "ab" in cfg["tokenizer_vocab"]
+    assert cfg["model_config"]["vocab_size"] == \
+        len(cfg["tokenizer_vocab"]) + 2
+    main(["align", wav_corpus, "--checkpoint-dir", ckpt, "--output", out,
+          "--textgrid-dir", tg, "--batch-size", "4"])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    for r in recs:
+        assert len(r["durations"]) == 3  # 3 phones, not 7 chars
+        assert sum(r["durations"]) == r["n_frames"]
+    text = open(os.path.join(tg, "u0.TextGrid")).read()
+    assert 'text = "ab"' in text and 'text = "cd"' in text
+
+
 def test_train_with_schedule_then_align(tmp_path, wav_corpus):
     """align must work regardless of the training run's optimizer choice
     (schedule + clipping change the opt_state pytree; align restores

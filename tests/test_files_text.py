@@ -5,7 +5,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from aligner_tpu.data import CharTokenizer, load_corpus
+from aligner_tpu.data import CharTokenizer, PhoneTokenizer, load_corpus
 
 
 def test_tokenizer_roundtrip():
@@ -16,6 +16,22 @@ def test_tokenizer_roundtrip():
     assert (ids >= 2).all()
     # unknown char maps to unk
     assert tok.encode("é")[0] == tok.unk_id
+    assert tok.labels("ab c") == ["a", "b", " ", "c"]
+
+
+def test_phone_tokenizer_roundtrip():
+    tok = PhoneTokenizer.from_corpus(["HH AH0 L OW1", "W ER1 L D"])
+    # sorted unique vocabulary, deterministic for a corpus
+    assert tok.phones == ("AH0", "D", "ER1", "HH", "L", "OW1", "W")
+    assert tok.vocab_size == 9
+    ids = tok.encode("HH AH0 L OW1")
+    assert ids.dtype == np.int32 and len(ids) == 4 and (ids >= 2).all()
+    assert tok.decode(ids) == "HH AH0 L OW1"
+    assert tok.labels("HH AH0") == ["HH", "AH0"]
+    # out-of-vocabulary symbol maps to unk
+    assert tok.encode("ZH")[0] == tok.unk_id
+    # one token per phone, not per character
+    assert len(tok.encode("W ER1 L D")) == 4
 
 
 def test_load_corpus_from_wav_dir(tmp_path):
