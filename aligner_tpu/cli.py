@@ -848,6 +848,17 @@ def cmd_align(args):
 
 
 def main(argv=None):
+    # Backend override for CLI runs. The axon TPU plugin force-sets
+    # jax_platforms at plugin-init, so the standard JAX_PLATFORMS env
+    # var is silently ignored; this knob applies the override through
+    # jax.config before any backend is initialised. Use case: CPU
+    # previews of quality recipes while the TPU tunnel is saturated or
+    # down (the metrics are device-agnostic f32 math — see CLAUDE.md).
+    import os as _os
+    platform = _os.environ.get("ALIGNER_TPU_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
     args = build_parser().parse_args(argv)
     if args.cmd == "demo-ota":
         cmd_demo_ota(args)
