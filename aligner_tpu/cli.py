@@ -145,9 +145,19 @@ def build_parser():
     p.add_argument("--t-text", type=int, default=128)
     p.add_argument("--t-mel", type=int, default=1024)
 
-    p = sub.add_parser("train", help="train the OTA aligner on a wav "
+    p = sub.add_parser("train", help="train an aligner on a wav "
                                      "corpus (metadata.csv + wavs/)")
     p.add_argument("corpus", help="corpus root directory")
+    p.add_argument("--model", choices=("ota", "mobo", "romo"),
+                   default="ota",
+                   help="alignment model family: 'ota' (forward-sum + "
+                        "MAS binarisation; the default), 'mobo' "
+                        "(monotonic boundary search under the "
+                        "max-duration constraint, reference "
+                        "README.md:9-13), 'romo' (rough OTA anchors + "
+                        "windowed MoBo refinement, README.md:15-19). "
+                        "Recorded in config.json; `align` decodes "
+                        "whichever family the checkpoint holds")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -157,6 +167,21 @@ def build_parser():
     p.add_argument("--dim", type=int, default=192)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--temperature", type=float, default=0.05)
+    p.add_argument("--max-duration", type=int, default=32,
+                   help="MoBo/RoMo boundary-search window D in frames "
+                        "(the reference's stated max-duration "
+                        "constraint); ignored for --model ota")
+    p.add_argument("--window", type=int, default=16,
+                   help="RoMo refinement half-window around the rough "
+                        "anchors; ignored for other models")
+    p.add_argument("--compute-dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="encoder/energy matmul precision (OTA only). "
+                        "bfloat16 runs the encoders and the pairwise "
+                        "energy product at MXU bf16 rate (measured -15%% "
+                        "on the config-5 step, docs/design.md); the "
+                        "losses and DP lattices always stay float32. "
+                        "Persisted in config.json")
     p.add_argument("--tokenizer", choices=("char", "phone"),
                    default="char",
                    help="'phone' treats transcripts as space-separated "
@@ -587,27 +612,96 @@ def cmd_bench_mas(args):
 
 def _make_tokenizer(args):
     """Tokenizer for a file-corpus run. `--tokenizer phone` derives the
-    vocabulary from the corpus metadata (space-separated symbols; the
-    convention of phone-level TTS corpora) — it is persisted in
-    config.json so `align` reconstructs the exact id mapping."""
+    vocabulary from the corpus rows that will actually be loaded (wav
+    present, within --limit) — space-separated symbols, the convention
+    of phone-level TTS corpora — and persists it in config.json so
+    `align` reconstructs the exact id mapping.
+
+    On `--resume`, an existing config.json's vocabulary wins: the
+    restored embedding rows are only meaningful under the original id
+    mapping, so re-deriving from a (possibly changed) corpus would
+    silently re-map symbols even when the vocab *size* happens to
+    match. Out-of-vocab symbols in the current corpus are a loud error.
+    """
+    import os as _os
+
     from .data import CharTokenizer, PhoneTokenizer
 
-    if getattr(args, "tokenizer", "char") == "phone":
-        from .data.files import load_metadata
-        tok = PhoneTokenizer.from_corpus(
-            t for _, t in load_metadata(args.corpus))
-        if not tok.phones:
-            raise SystemExit("--tokenizer phone: corpus metadata has no "
-                             "symbols to build a vocabulary from")
-        return tok
-    return CharTokenizer()
+    if getattr(args, "tokenizer", "char") != "phone":
+        return CharTokenizer()
+    from .data.files import load_metadata
+
+    def corpus_texts():
+        # Mirror load_corpus's row filter (wav exists, --limit) so the
+        # vocabulary covers exactly the trained rows — symbols living
+        # only in skipped rows would otherwise get never-trained
+        # embedding rows.
+        limit = getattr(args, "limit", None)
+        n = 0
+        for utt_id, text in load_metadata(args.corpus):
+            if limit is not None and n >= limit:
+                return
+            if not _os.path.exists(_os.path.join(
+                    args.corpus, "wavs", f"{utt_id}.wav")):
+                continue
+            yield text
+            n += 1
+
+    if getattr(args, "resume", False) and \
+            getattr(args, "checkpoint_dir", None):
+        from .train.checkpoint import load_run_config
+        rec = load_run_config(args.checkpoint_dir)
+        if rec is not None and rec.get("tokenizer_vocab") is not None:
+            tok = PhoneTokenizer(phones=tuple(rec["tokenizer_vocab"]))
+            unknown = sorted(
+                {p for t in corpus_texts() for p in t.split()}
+                - set(tok.phones))
+            if unknown:
+                raise SystemExit(
+                    "--resume: corpus contains symbols outside the "
+                    "checkpoint's vocabulary "
+                    f"({', '.join(unknown[:10])}"
+                    f"{', ...' if len(unknown) > 10 else ''}); the "
+                    "embedding ids are fixed at first training — "
+                    "retrain from scratch for a new vocabulary")
+            return tok
+    tok = PhoneTokenizer.from_corpus(corpus_texts())
+    if not tok.phones:
+        raise SystemExit("--tokenizer phone: corpus metadata has no "
+                         "symbols to build a vocabulary from")
+    return tok
 
 
 def _file_model(args):
-    from .models import OTAAligner, OTAConfig
+    """Build the model family selected by `train --model` (plus its
+    tokenizer). MoBo/RoMo always train with the learned reconstruction
+    decoder — the demo-measured requirement: their marginal NLLs alone
+    only shape energies and leave boundaries unpinned (cmd_demo_mobo /
+    cmd_demo_romo docstrings)."""
+    from .models import (MoBoAligner, MoBoConfig, OTAAligner, OTAConfig,
+                         RoMoAligner, RoMoConfig)
 
     tok = _make_tokenizer(args)
+    family = getattr(args, "model", "ota")
     model_pauses = getattr(args, "model_pauses", False)
+    if family != "ota":
+        if model_pauses:
+            raise SystemExit("--model-pauses is an OTA capability "
+                             "(skip-state DP); drop it or use "
+                             "--model ota")
+        if getattr(args, "compute_dtype", "float32") != "float32":
+            raise SystemExit("--compute-dtype is currently wired for "
+                             "--model ota only")
+    if family == "mobo":
+        return tok, MoBoAligner(MoBoConfig(
+            vocab_size=tok.vocab_size, dim=args.dim, hidden=args.hidden,
+            max_duration=args.max_duration, use_recon=True))
+    if family == "romo":
+        return tok, RoMoAligner(RoMoConfig(
+            vocab_size=tok.vocab_size, dim=args.dim, hidden=args.hidden,
+            temperature=args.temperature,
+            max_duration=args.max_duration, window=args.window,
+            use_recon=True))
     use_recon = getattr(args, "recon", False)
     if model_pauses and not use_recon:
         # The pause key only learns the silence spectrum through the
@@ -621,7 +715,8 @@ def _file_model(args):
         model_pauses=model_pauses,
         pause_prior=getattr(args, "pause_prior", "bridge"),
         pause_bias=getattr(args, "pause_bias", 0.0),
-        pause_enter_cost=getattr(args, "pause_enter_cost", 0.0)))
+        pause_enter_cost=getattr(args, "pause_enter_cost", 0.0),
+        compute_dtype=getattr(args, "compute_dtype", "float32")))
     return tok, model
 
 
@@ -682,10 +777,11 @@ def _model_from_checkpoint(args):
             f"flags conflict with the checkpoint's saved config "
             f"({detail}); drop the flags — the checkpoint is "
             "self-describing")
-    if rec.get("model_class", "OTA") not in ("OTA", "OTAAligner"):
+    family = rec.get("model_class", "OTA").removesuffix("Aligner")
+    if family not in ("OTA", "MoBo", "RoMo"):
         raise SystemExit(
             f"checkpoint holds a {rec['model_class']} model; `align` "
-            "currently drives the OTA aligner only")
+            "drives the OTA/MoBo/RoMo aligners")
     if rec.get("tokenizer") == "PhoneTokenizer":
         from .data import PhoneTokenizer
         vocab = rec.get("tokenizer_vocab")
@@ -697,13 +793,28 @@ def _model_from_checkpoint(args):
         tok = PhoneTokenizer(phones=tuple(vocab))
     else:
         tok = CharTokenizer()
-    cfg = OTAConfig(**cfg_dict)
+    if family == "MoBo":
+        from .models import MoBoAligner, MoBoConfig
+        cfg = MoBoConfig(**cfg_dict)
+        model = MoBoAligner(cfg)
+    elif family == "RoMo":
+        from .models import RoMoAligner, RoMoConfig
+        cfg = RoMoConfig(**cfg_dict)
+        model = RoMoAligner(cfg)
+    else:
+        cfg = OTAConfig(**cfg_dict)
+        model = OTAAligner(_decode_pause_overrides(args, cfg))
+    if family != "OTA" and any(
+            getattr(args, k, None) is not None
+            for k in ("pause_enter_cost", "pause_bias")):
+        raise SystemExit("--pause-enter-cost/--pause-bias require an "
+                         "OTA checkpoint trained with --model-pauses")
     if cfg.vocab_size != tok.vocab_size:
         raise SystemExit(
             f"checkpoint vocab_size {cfg.vocab_size} does not match the "
             f"{type(tok).__name__} ({tok.vocab_size}); was it trained "
             "with a different tokenizer?")
-    return tok, OTAAligner(_decode_pause_overrides(args, cfg))
+    return tok, model
 
 
 def cmd_train(args):
@@ -728,8 +839,32 @@ def cmd_train(args):
         n_eval = min(n_eval, len(batches) - 1)
         eval_batches, batches = batches[:n_eval], batches[n_eval:]
         print(f"holding out {n_eval} batches for validation")
-    apply_extra = None
-    if args.model_pauses and args.pause_bias_start != args.pause_bias:
+    apply_extra, objective = None, None
+    if args.model == "mobo":
+        # Demo-measured objective (cmd_demo_mobo): reconstruction pins
+        # boundaries, the boundary NLL shapes energies. Hard Viterbi
+        # decode is skipped during training (align-time only).
+        def apply_extra(step_no):
+            return {"compute_hard": False}
+
+        def objective(out, step_no):
+            loss = out["loss_recon"] + 0.1 * out["loss_mobo"]
+            return loss, {"loss_mobo": out["loss_mobo"],
+                          "loss_recon": out["loss_recon"]}
+    elif args.model == "romo":
+        import jax.numpy as jnp
+
+        def apply_extra(step_no):
+            return {"compute_hard": False}
+
+        def objective(out, step_no):
+            loss = out["loss_recon"] + 0.1 * out["loss"]
+            return loss, {"loss_rough": out["loss_rough"],
+                          "loss_refine": out["loss_refine"],
+                          "loss_recon": out["loss_recon"],
+                          "refine_feasible": jnp.mean(
+                              out["refine_feasible"].astype(jnp.float32))}
+    elif args.model_pauses and args.pause_bias_start != args.pause_bias:
         # Pause-bias curriculum (the measured seed-robustness recipe —
         # see demo-pauses): anneal the occupancy cost from a strongly
         # discouraging start so tokens claim their frames first.
@@ -754,7 +889,7 @@ def cmd_train(args):
                   grad_clip_norm=args.grad_clip,
                   eval_batches=eval_batches,
                   resume=args.resume, seed=args.seed,
-                  apply_extra=apply_extra)
+                  apply_extra=apply_extra, objective=objective)
     print(f"checkpoints in {args.checkpoint_dir}")
 
 
@@ -787,13 +922,25 @@ def cmd_align(args):
                          first["mel_lengths"])["params"]
     params = restore_params(args.checkpoint_dir, params0)
 
-    with_pauses = model.config.model_pauses
+    family = type(model.config).__name__.removesuffix("Config")
+    with_pauses = family == "OTA" and model.config.model_pauses
 
     def _extract(p, b):
         out = model.apply({"params": p}, b["tokens"], b["mel"],
                           b["text_lengths"], b["mel_lengths"])
-        return (out["durations"], out["pause_durations"]) if with_pauses \
-            else (out["durations"], None)
+        if family == "OTA":
+            return (out["durations"],
+                    out["pause_durations"] if with_pauses else None)
+        if family == "RoMo":
+            # Refined Viterbi boundaries where the windowed search is
+            # feasible; the rough stage's expected durations otherwise
+            # (the model documents hard_durations as meaningless then).
+            import jax.numpy as _jnp
+            feas = out["refine_feasible"][:, None]
+            durs = _jnp.where(feas, out["hard_durations"],
+                              _jnp.round(out["rough_durations"]))
+            return durs, None
+        return out["hard_durations"], None
 
     apply_fn = jax.jit(_extract)
     if args.textgrid_dir:

@@ -76,8 +76,17 @@ def load_corpus(root: str, *, mel_config: MelConfig = MelConfig(),
                                           / sr)))
             wav = np.interp(t_new, np.arange(len(wav)), wav) \
                 .astype(np.float32)
+        tokens = tokenizer.encode(text)
+        if len(tokens) == 0:
+            # A whitespace-only transcript tokenises to t_x=0 (easy to
+            # hit with PhoneTokenizer on a malformed phone corpus) and
+            # would flow into the model as a degenerate lattice; fail
+            # loudly at load time instead.
+            raise ValueError(
+                f"utterance {utt_id!r}: transcript {text!r} tokenises "
+                "to zero tokens — fix or drop the metadata row")
         mel = np.asarray(log_mel_spectrogram(jnp.asarray(wav)[None, :],
                                              mel_config))[0]
         yield {"utt_id": utt_id, "text": text,
-               "tokens": tokenizer.encode(text), "mel": mel}
+               "tokens": tokens, "mel": mel}
         n += 1

@@ -28,6 +28,13 @@ class MoBoConfig:
     hidden: int = 256
     max_duration: int = 32
     energy_scale: float | None = None  # default 1/sqrt(dim)
+    # Per-frame mel reconstruction through the boundary posteriors —
+    # the objective that pins boundaries in the MoBo demos (the
+    # marginal NLL alone only shapes energies). The demo reconstructs
+    # through known synthetic prototypes; for real corpora (train CLI)
+    # the decoder is learned: mel_decoder(keys) plays the prototype
+    # role. Adds `loss_recon` to the outputs when True.
+    use_recon: bool = False
 
 
 class MoBoAligner(nn.Module):
@@ -61,6 +68,14 @@ class MoBoAligner(nn.Module):
             "expected_durations": out["expected_durations"],
             "log_boundaries": out["log_boundaries"],
         }
+        if cfg.use_recon:
+            decoded = nn.Dense(cfg.n_mels, name="mel_decoder")(keys)
+            recon = jnp.einsum("byx,bxd->byd", out["soft_alignment"],
+                               decoded)
+            frame_mask = mel_mask[..., None]
+            result["loss_recon"] = (
+                jnp.sum(frame_mask * (recon - mel) ** 2)
+                / jnp.maximum(frame_mask.sum(), 1.0) / cfg.n_mels)
         if compute_hard:
             durs, path = mobo_hard_boundaries(
                 jax.lax.stop_gradient(energies), text_lengths, mel_lengths,

@@ -43,6 +43,13 @@ class RoMoConfig:
     window: int = 16            # refinement half-window around anchors
     max_duration: int = 32      # MoBo transition window in the refinement
     energy_scale: float | None = None
+    # Learned per-frame mel reconstruction through the REFINEMENT
+    # posteriors — the demo-measured fix for unpinned refined
+    # boundaries (see cli.cmd_demo_romo); mel_decoder(keys) replaces
+    # the demo's known synthetic prototypes for real corpora. Items
+    # whose refinement is infeasible are gated out (their posteriors
+    # are sentinels). Adds `loss_recon` when True.
+    use_recon: bool = False
 
 
 class RoMoAligner(nn.Module):
@@ -124,6 +131,14 @@ class RoMoAligner(nn.Module):
             "soft_alignment": mobo["soft_alignment"],
             "expected_durations": mobo["expected_durations"],
         }
+        if cfg.use_recon:
+            decoded = nn.Dense(cfg.n_mels, name="mel_decoder")(keys)
+            recon = jnp.einsum("byx,bxd->byd", mobo["soft_alignment"],
+                               decoded)
+            m = mel_mask[..., None] * feasible[:, None, None]
+            result["loss_recon"] = (
+                jnp.sum(m * (recon - mel) ** 2)
+                / jnp.maximum(m.sum(), 1.0) / cfg.n_mels)
         if compute_hard:
             durs, path = mobo_hard_boundaries(
                 jax.lax.stop_gradient(energies_win), text_lengths,

@@ -31,7 +31,7 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
                   eval_every: int | None = None,
                   resume: bool = False, prefetch: int = 2,
                   seed: int = 0, shuffle: bool = True,
-                  apply_extra=None):
+                  apply_extra=None, objective=None):
     """Train on an iterable of padded batch dicts (cycled). Returns the
     final TrainState and a list of metric records. When checkpointing,
     the model config (and any `config_extra`, e.g. tokenizer info) is
@@ -53,6 +53,9 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
     apply_extra: optional `fn(step_no) -> dict` of extra model.apply
     kwargs evaluated on the traced step counter (step-dependent model
     schedules, e.g. a pause-bias curriculum; see train.step).
+    objective: optional `fn(out, step) -> (loss, metrics)` overriding
+    the default OTA schedule — the hook that trains the MoBo/RoMo
+    families (see train.step.make_train_step).
     """
     batches = list(batches)
     if lr_schedule == "constant" and warmup_steps <= 0:
@@ -88,10 +91,11 @@ def train_aligner(model, batches: Iterable[dict], *, steps: int,
         save_run_config(checkpoint_dir, model.config, extra)
     step_fn = make_train_step(model, mesh=mesh, bin_start=bin_start,
                               bin_ramp=bin_ramp, donate=False,
-                              apply_extra=apply_extra)
+                              apply_extra=apply_extra, objective=objective)
     eval_batches = list(eval_batches) if eval_batches else None
     eval_fn = (make_eval_step(model, mesh=mesh, bin_start=bin_start,
-                              bin_ramp=bin_ramp, apply_extra=apply_extra)
+                              bin_ramp=bin_ramp, apply_extra=apply_extra,
+                              objective=objective)
                if eval_batches else None)
     if eval_every is None:
         eval_every = log_every * 4

@@ -34,6 +34,13 @@ sys.path.insert(0, ".")
 SR = 22050
 HOP = 256
 PHONES = "abcdefghijklmnopqrst"
+# ARPAbet-style display symbols for --transcripts phone (one per
+# synthetic phone identity): the metadata transcript becomes a
+# space-separated symbol sequence — the ESPnet-style phone-level regime
+# the reference ecosystem aligns (devcontainer.json:6) — exercising
+# `train --tokenizer phone` end to end.
+ARPABET = ("AA AE AH AO AW AY B CH D DH "
+           "EH ER EY F G HH IH IY JH K").split()
 
 
 def phone_partials(rng_master):
@@ -92,6 +99,11 @@ def main():
     ap.add_argument("--pause-prob", type=float, default=0.0,
                     help="per-gap probability of a 2-8 frame silence "
                          "(untranscribed)")
+    ap.add_argument("--transcripts", choices=("char", "phone"),
+                    default="char",
+                    help="'phone' writes space-separated ARPAbet-style "
+                         "symbols (train with --tokenizer phone); "
+                         "'char' (default) writes raw characters")
     args = ap.parse_args()
 
     from scipy.io import wavfile
@@ -117,7 +129,9 @@ def main():
             wavfile.write(os.path.join(args.out_dir, "wavs",
                                        f"{utt_id}.wav"), SR,
                           (wav * 32767).astype(np.int16))
-            meta.write(f"{utt_id}|{phones}\n")
+            text = (phones if args.transcripts == "char" else
+                    " ".join(ARPABET[PHONES.index(p)] for p in phones))
+            meta.write(f"{utt_id}|{text}\n")
             truth[utt_id] = {"durations": durs, "pauses": pauses}
     with open(os.path.join(args.out_dir, "durations_truth.json"),
               "w") as f:

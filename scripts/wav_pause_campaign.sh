@@ -22,10 +22,16 @@ mkdir -p "$WORK"
 run () {  # name, extra train flags...
   local name=$1; shift
   local ck=$WORK/ck_${name}_s$SEED
-  if [ ! -f "$ck/durations.jsonl" ]; then
+  # Separate train/align sentinels + --resume: a rerun after an align
+  # failure (or a tunnel drop mid-training) continues from the latest
+  # checkpoint instead of retraining 6000 steps from scratch.
+  if [ ! -f "$ck/train.done" ]; then
     python -m aligner_tpu train "$CORPUS" --checkpoint-dir "$ck" \
       --steps "$STEPS" --recon --temperature 0.15 --seed "$SEED" \
-      --bin-start $((STEPS / 2)) --bin-ramp $((STEPS / 3)) "$@"
+      --bin-start $((STEPS / 2)) --bin-ramp $((STEPS / 3)) --resume "$@"
+    touch "$ck/train.done"
+  fi
+  if [ ! -f "$ck/durations.jsonl" ]; then
     python -m aligner_tpu align "$CORPUS" --checkpoint-dir "$ck" \
       --output "$ck/durations.jsonl"
   fi

@@ -191,3 +191,172 @@ def test_demo_romo_smoke(capsys):
     for stage in ("rough", "refined"):
         assert 0.0 <= rec[stage]["boundary_f1_tol2"] <= 1.0
         assert rec[stage]["duration_mae"] >= 0.0
+
+
+def test_train_mobo_then_align_roundtrip(tmp_path, wav_corpus):
+    """--model mobo trains the boundary-search aligner on a wav corpus
+    (reference README.md:9-13 names it as a completed capability);
+    align decodes hard Viterbi boundaries from the checkpoint's
+    config.json alone."""
+    from aligner_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "durations.jsonl")
+    main(["train", wav_corpus, "--model", "mobo", "--steps", "3",
+          "--batch-size", "4", "--checkpoint-dir", ckpt,
+          "--dim", "16", "--hidden", "24", "--max-duration", "16"])
+    cfg = json.load(open(os.path.join(ckpt, "config.json")))
+    assert cfg["model_class"] == "MoBo"
+    assert cfg["model_config"]["max_duration"] == 16
+    assert cfg["model_config"]["use_recon"] is True
+    main(["align", wav_corpus, "--checkpoint-dir", ckpt,
+          "--output", out, "--batch-size", "4"])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    for r in recs:
+        assert len(r["durations"]) == 7  # char tokenizer: "ab cd N"
+        assert sum(r["durations"]) == r["n_frames"]
+        assert "pauses" not in r  # boundary search has no pause states
+
+
+def test_train_romo_then_align_roundtrip(tmp_path, wav_corpus):
+    """--model romo: rough OTA anchors + windowed MoBo refinement
+    (reference README.md:15-19), decodable via align."""
+    from aligner_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "durations.jsonl")
+    main(["train", wav_corpus, "--model", "romo", "--steps", "3",
+          "--batch-size", "4", "--checkpoint-dir", ckpt,
+          "--dim", "16", "--hidden", "24", "--max-duration", "16",
+          "--window", "12"])
+    cfg = json.load(open(os.path.join(ckpt, "config.json")))
+    assert cfg["model_class"] == "RoMo"
+    assert cfg["model_config"]["window"] == 12
+    main(["align", wav_corpus, "--checkpoint-dir", ckpt,
+          "--output", out, "--batch-size", "4"])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    for r in recs:
+        assert len(r["durations"]) == 7
+        # feasible items conserve frames exactly; infeasible ones fall
+        # back to rounded rough expected durations (close, not exact)
+        assert abs(sum(r["durations"]) - r["n_frames"]) <= 7
+
+
+def test_model_pauses_rejected_outside_ota(tmp_path, wav_corpus):
+    from aligner_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="OTA capability"):
+        main(["train", wav_corpus, "--model", "mobo", "--model-pauses",
+              "--steps", "1", "--checkpoint-dir", str(tmp_path / "c")])
+
+
+def test_align_pause_knobs_rejected_for_mobo(tmp_path, wav_corpus):
+    from aligner_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    main(["train", wav_corpus, "--model", "mobo", "--steps", "2",
+          "--batch-size", "4", "--checkpoint-dir", ckpt,
+          "--dim", "16", "--hidden", "24", "--max-duration", "16"])
+    with pytest.raises(SystemExit, match="OTA checkpoint"):
+        main(["align", wav_corpus, "--checkpoint-dir", ckpt,
+              "--output", str(tmp_path / "d.jsonl"),
+              "--pause-enter-cost", "-5.0"])
+
+
+def test_train_bf16_then_align_roundtrip(tmp_path, wav_corpus):
+    """--compute-dtype bfloat16 is persisted in config.json and the
+    checkpoint aligns end to end (params stay f32; only the encoder/
+    energy matmuls run bf16 — the measured -15% config-5 recipe)."""
+    from aligner_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "durations.jsonl")
+    main(["train", wav_corpus, "--steps", "3", "--batch-size", "4",
+          "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24",
+          "--compute-dtype", "bfloat16"])
+    cfg = json.load(open(os.path.join(ckpt, "config.json")))
+    assert cfg["model_config"]["compute_dtype"] == "bfloat16"
+    main(["align", wav_corpus, "--checkpoint-dir", ckpt,
+          "--output", out, "--batch-size", "4"])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    for r in recs:
+        assert sum(r["durations"]) == r["n_frames"]
+
+
+def test_resume_phone_vocab_from_checkpoint(tmp_path, wav_corpus):
+    """On --resume, the phone vocabulary comes from config.json, not a
+    fresh corpus scan: same-size-different-symbols corpora must not
+    silently re-map restored embedding rows; out-of-vocab symbols are
+    a loud error."""
+    from aligner_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    main(["train", wav_corpus, "--steps", "2", "--batch-size", "4",
+          "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24",
+          "--tokenizer", "phone"])
+    vocab0 = json.load(open(os.path.join(ckpt,
+                                         "config.json")))["tokenizer_vocab"]
+    # same corpus: resume reuses the saved vocab and trains on
+    main(["train", wav_corpus, "--steps", "3", "--batch-size", "4",
+          "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24",
+          "--tokenizer", "phone", "--resume"])
+    vocab1 = json.load(open(os.path.join(ckpt,
+                                         "config.json")))["tokenizer_vocab"]
+    assert vocab1 == vocab0
+    # corpus gained a new symbol: loud error, not silent re-mapping
+    from scipy.io import wavfile
+    rng = np.random.default_rng(9)
+    wav = (rng.standard_normal(22050 // 4) * 0.1 * 32767).astype(np.int16)
+    wavfile.write(os.path.join(wav_corpus, "wavs", "u9.wav"), 22050, wav)
+    with open(os.path.join(wav_corpus, "metadata.csv"), "a") as f:
+        f.write("u9|zz qq 0\n")
+    with pytest.raises(SystemExit, match="outside the checkpoint"):
+        main(["train", wav_corpus, "--steps", "4", "--batch-size", "4",
+              "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24",
+              "--tokenizer", "phone", "--resume"])
+
+
+def test_phone_vocab_respects_limit_and_missing_wavs(tmp_path):
+    """The phone vocabulary is derived from the rows that are actually
+    loaded (wav present, within --limit), so no embedding row exists
+    for symbols of skipped rows."""
+    import scipy.io.wavfile as wavfile
+
+    from aligner_tpu.cli import build_parser, _make_tokenizer
+
+    root = tmp_path / "corpus"
+    os.makedirs(root / "wavs")
+    rng = np.random.default_rng(0)
+    lines = ["u0|aa bb", "u1|cc dd", "u2|ee ff"]
+    for u in (0, 1):  # u2's wav is missing
+        wav = (rng.standard_normal(5512) * 0.1 * 32767).astype(np.int16)
+        wavfile.write(str(root / "wavs" / f"u{u}.wav"), 22050, wav)
+    (root / "metadata.csv").write_text("\n".join(lines) + "\n")
+    args = build_parser().parse_args(
+        ["train", str(root), "--tokenizer", "phone", "--limit", "1",
+         "--checkpoint-dir", str(tmp_path / "c")])
+    assert _make_tokenizer(args).phones == ("aa", "bb")
+    args = build_parser().parse_args(
+        ["train", str(root), "--tokenizer", "phone",
+         "--checkpoint-dir", str(tmp_path / "c")])
+    assert _make_tokenizer(args).phones == ("aa", "bb", "cc", "dd")
+
+
+def test_zero_token_transcript_fails_loudly(tmp_path):
+    """A whitespace-only transcript (t_x = 0) is a load-time error, not
+    a degenerate lattice downstream."""
+    import scipy.io.wavfile as wavfile
+
+    from aligner_tpu.data import PhoneTokenizer, load_corpus
+
+    root = tmp_path / "corpus"
+    os.makedirs(root / "wavs")
+    wav = (np.zeros(5512) * 32767).astype(np.int16)
+    wavfile.write(str(root / "wavs" / "u0.wav"), 22050, wav)
+    (root / "metadata.csv").write_text("u0|   \n")
+    tok = PhoneTokenizer(phones=("aa",))
+    with pytest.raises(ValueError, match="zero tokens"):
+        list(load_corpus(str(root), tokenizer=tok))
