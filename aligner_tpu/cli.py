@@ -189,6 +189,22 @@ def build_parser():
                         "with a corpus-derived vocabulary persisted in "
                         "config.json; 'char' (default) aligns raw "
                         "characters")
+    p.add_argument("--mel-hop", type=int, default=None,
+                   help="mel hop length in samples (default 256 = "
+                        "11.6 ms at 22.05 kHz). Smaller hops raise the "
+                        "boundary resolution at proportional frame-count "
+                        "cost. Persisted in config.json; `align` reuses "
+                        "it")
+    p.add_argument("--mel-win", type=int, default=None,
+                   help="mel analysis window (= n_fft) in samples "
+                        "(default 1024). The window, not the hop, sets "
+                        "how far boundary evidence smears (±win/hop/2 "
+                        "frames). Persisted in config.json")
+    p.add_argument("--no-mel-center", action="store_true",
+                   help="left-align analysis windows instead of "
+                        "centering (kills the +1 center-padding "
+                        "fencepost frame at the cost of a half-window "
+                        "timing offset). Persisted in config.json")
     p.add_argument("--recon", action="store_true",
                    help="enable the per-frame reconstruction auxiliary "
                         "(the measured flagship recipe pairs it with "
@@ -610,6 +626,37 @@ def cmd_bench_mas(args):
     bench.main()
 
 
+def _mel_config_from_args(args):
+    """MelConfig for a `train` run from the --mel-* lever flags.
+
+    Returns (mel_cfg, extra) where `extra` is the config.json payload —
+    only non-default levers are recorded, so old checkpoints and
+    default runs keep a `mel`-free config.json."""
+    from .ops.mel import MelConfig
+
+    overrides = {}
+    if getattr(args, "mel_hop", None) is not None:
+        overrides["hop_length"] = args.mel_hop
+    if getattr(args, "mel_win", None) is not None:
+        overrides["n_fft"] = args.mel_win
+        overrides["win_length"] = args.mel_win
+    if getattr(args, "no_mel_center", False):
+        overrides["center"] = False
+    cfg = MelConfig(**overrides)
+    return cfg, ({"mel": overrides} if overrides else {})
+
+
+def _mel_config_from_record(rec):
+    """MelConfig for `align` from a checkpoint's config.json. Pre-lever
+    checkpoints (no `mel` key) back-fill the defaults they trained
+    with."""
+    from .ops.mel import MelConfig
+
+    if rec is None:
+        return MelConfig()
+    return MelConfig(**rec.get("mel", {}))
+
+
 def _make_tokenizer(args):
     """Tokenizer for a file-corpus run. `--tokenizer phone` derives the
     vocabulary from the corpus rows that will actually be loaded (wav
@@ -826,8 +873,9 @@ def cmd_train(args):
     if not _os.path.exists(_os.path.join(args.corpus, "metadata.csv")):
         raise SystemExit(f"no metadata.csv under {args.corpus}")
     tok, model = _file_model(args)
+    mel_cfg, mel_extra = _mel_config_from_args(args)
     items = list(load_corpus(args.corpus, tokenizer=tok,
-                             limit=args.limit))
+                             mel_config=mel_cfg, limit=args.limit))
     if not items:
         raise SystemExit(f"no usable utterances under {args.corpus}")
     print(f"loaded {len(items)} utterances")
@@ -883,7 +931,8 @@ def cmd_train(args):
                   checkpoint_dir=args.checkpoint_dir,
                   config_extra={"tokenizer": type(tok).__name__,
                                 **({"tokenizer_vocab": list(tok.phones)}
-                                   if hasattr(tok, "phones") else {})},
+                                   if hasattr(tok, "phones") else {}),
+                                **mel_extra},
                   warmup_steps=args.warmup_steps,
                   lr_schedule=args.lr_schedule,
                   grad_clip_norm=args.grad_clip,
@@ -908,8 +957,10 @@ def cmd_align(args):
     if not _os.path.exists(_os.path.join(args.corpus, "metadata.csv")):
         raise SystemExit(f"no metadata.csv under {args.corpus}")
     tok, model = _model_from_checkpoint(args)
+    from .train.checkpoint import load_run_config
+    mel_cfg = _mel_config_from_record(load_run_config(args.checkpoint_dir))
     items = list(load_corpus(args.corpus, tokenizer=tok,
-                             limit=args.limit))
+                             mel_config=mel_cfg, limit=args.limit))
     if not items:
         raise SystemExit(f"no usable utterances under {args.corpus}")
     batches = list(bucket_batches(items, args.batch_size,
@@ -945,8 +996,6 @@ def cmd_align(args):
     apply_fn = jax.jit(_extract)
     if args.textgrid_dir:
         _os.makedirs(args.textgrid_dir, exist_ok=True)
-    from .ops.mel import MelConfig
-    mel_cfg = MelConfig()
     n = 0
     with open(args.output, "w") as f:
         for b, group in batches:

@@ -26,6 +26,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("corpus_dir")
     ap.add_argument("alignments", help="durations.jsonl from `align`")
+    ap.add_argument("--truth-scale", type=int, default=1,
+                    help="multiply truth durations/pauses by this "
+                         "factor: the generator's truth is in hop-256 "
+                         "frames, so alignments from a `--mel-hop 128` "
+                         "run need --truth-scale 2")
+    ap.add_argument("--tolerance", type=int, default=2,
+                    help="boundary-F1 tolerance in *mel* frames "
+                         "(default 2). Scale with --truth-scale to "
+                         "hold the physical tolerance window fixed "
+                         "across hop levers")
     args = ap.parse_args()
 
     truth = json.load(open(os.path.join(args.corpus_dir,
@@ -38,8 +48,8 @@ def main():
         if t is None:
             continue
         pred = np.asarray(rec["durations"])
-        want = np.asarray(t["durations"])
-        pauses = np.asarray(t["pauses"])
+        want = np.asarray(t["durations"]) * args.truth_scale
+        pauses = np.asarray(t["pauses"]) * args.truth_scale
         pred_pauses = (np.asarray(rec["pauses"])
                        if rec.get("pauses") is not None else None)
         if len(pred) != len(want):
@@ -54,7 +64,7 @@ def main():
         f1s.append(token_boundary_f1(
             pred, want, pred_pauses=pred_pauses,
             true_pauses=pauses if pauses.any() else None,
-            tolerance_frames=2)["f1"])
+            tolerance_frames=args.tolerance)["f1"])
         exacts.append(float((pred_adj == want).mean()))
         maes.append(float(np.abs(pred_adj - want).mean()))
         if pred_pauses is not None and pauses.any():
@@ -62,6 +72,8 @@ def main():
         n += 1
     out = {
         "corpus": args.corpus_dir, "n": n,
+        **({"truth_scale": args.truth_scale, "tolerance": args.tolerance}
+           if (args.truth_scale != 1 or args.tolerance != 2) else {}),
         "boundary_f1_tol2": round(float(np.mean(f1s)), 3),
         "duration_exact": round(float(np.mean(exacts)), 3),
         "duration_mae": round(float(np.mean(maes)), 3),

@@ -360,3 +360,40 @@ def test_zero_token_transcript_fails_loudly(tmp_path):
     tok = PhoneTokenizer(phones=("aa",))
     with pytest.raises(ValueError, match="zero tokens"):
         list(load_corpus(str(root), tokenizer=tok))
+
+
+def test_train_mel_levers_persist_and_align_reuses(tmp_path, wav_corpus):
+    """--mel-hop/--mel-win/--no-mel-center land in config.json and
+    `align` rebuilds the same front end: at hop 128 the aligned frame
+    count doubles relative to the hop-256 default (same wavs)."""
+    from aligner_tpu.cli import main
+
+    ck256 = str(tmp_path / "ck256")
+    ck128 = str(tmp_path / "ck128")
+    main(["train", wav_corpus, "--steps", "2", "--batch-size", "4",
+          "--checkpoint-dir", ck256, "--dim", "16", "--hidden", "24"])
+    main(["train", wav_corpus, "--steps", "2", "--batch-size", "4",
+          "--checkpoint-dir", ck128, "--dim", "16", "--hidden", "24",
+          "--mel-hop", "128", "--mel-win", "512", "--no-mel-center"])
+    cfg = json.load(open(os.path.join(ck128, "config.json")))
+    assert cfg["mel"] == {"hop_length": 128, "n_fft": 512,
+                          "win_length": 512, "center": False}
+    # default runs keep a mel-free config.json (back-compat contract)
+    assert "mel" not in json.load(open(os.path.join(ck256, "config.json")))
+    out256 = str(tmp_path / "d256.jsonl")
+    out128 = str(tmp_path / "d128.jsonl")
+    main(["align", wav_corpus, "--checkpoint-dir", ck256,
+          "--output", out256, "--batch-size", "4"])
+    main(["align", wav_corpus, "--checkpoint-dir", ck128,
+          "--output", out128, "--batch-size", "4"])
+    n256 = {r["utt_id"]: r["n_frames"]
+            for r in map(json.loads, open(out256))}
+    n128 = {r["utt_id"]: r["n_frames"]
+            for r in map(json.loads, open(out128))}
+    for u, n in n256.items():
+        # hop-256 centered: samples//256 + 1 frames; hop-128
+        # left-aligned win 512: (samples-512)//128 + 1 — about 2x.
+        assert n128[u] > int(1.8 * n), (u, n, n128[u])
+        assert sum(json.loads(next(
+            l for l in open(out128)
+            if json.loads(l)["utt_id"] == u))["durations"]) == n128[u]
