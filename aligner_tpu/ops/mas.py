@@ -160,7 +160,11 @@ def maximum_path(value, mask, *, implementation: str = "auto",
     has the dtype of `value`. Unlike the reference there is no host
     round-trip — this is jit-compatible and runs fully on device.
 
-    implementation: "auto" | "lax" | "pallas".
+    implementation: "auto" | "lax" | "pallas" | "cpp" ("cpp" runs the
+    native host oracle via callback — the measured winner only for
+    B=1 lattices under ~128x512, docs/PERF.md "Single-utterance
+    latency"; it is not jittable on device and exists for that corner
+    and for conformance checks).
     max_neg_val: sentinel used to exclude infeasible DP transitions —
     the reference dispatcher's one knob (core.pyx:40, default -1e9). It
     must dominate (be far below) every real lattice value; only change it

@@ -1136,6 +1136,103 @@ def _backtrack_kernel_nat_cmp(tx_ref, ty_ref, bits_ref, path_ref,
     path_ref[:] = _cmp_emit(acc, Bb, T_x, chunk)
 
 
+def _backtrack_kernel_idx(tx_ref, ty_ref, bits_ref, idx_ref, ind_ref,
+                          *, quad: bool = False):
+    """Walk-only half of the SPLIT backtrack: the packed-index walk with
+    a [Bb, chunk] f32 output (token_index + 1 per frame; 0 = no
+    emission) and NO path block. With the 4 MB/chunk path write gone,
+    the walk tile takes the whole serving batch (bits block is the only
+    big VMEM user), so the inherently sequential chunk walk runs ONCE
+    over T_y instead of once per batch tile — the mechanism behind the
+    measured split-form win (docs/PERF.md "cmp-walk backtrack"): the
+    cmp form at B=256 is walk-latency-bound at bb=64 (4 sequential
+    passes), not bandwidth-bound."""
+    chunk = bits_ref.shape[0]
+    Bb, T_x = ind_ref.shape
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+
+    tx = tx_ref[:]
+    ty = ty_ref[:]
+    x = jax.lax.broadcasted_iota(jnp.int32, (Bb, T_x), 1)
+
+    @pl.when(i == 0)
+    def _():
+        valid = (tx >= 1) & (tx <= ty)
+        ind_ref[:] = ((x == tx - 1) & valid).astype(jnp.float32)
+
+    base = (n - 1 - i) * chunk
+    ind, acc = _bt_cmp_walk(ind_ref[:], lambda j: bits_ref[j], base,
+                            chunk, ty, T_x, Bb, x, quad=quad)
+    ind_ref[:] = ind
+    idx_ref[:] = acc
+
+
+def _expand_kernel(idx_ref, path_ref):
+    """Embarrassingly-parallel half of the split backtrack: packed
+    per-frame indices -> one-hot path blocks, one broadcast compare per
+    block. Pure streaming (reads 4 B per frame-row, writes the full
+    path) — runs at the HBM copy floor, with no serial carry at all."""
+    Bb, T_x, chunk = path_ref.shape
+    path_ref[:] = _cmp_emit(idx_ref[:], Bb, T_x, chunk)
+
+
+# walk-only tile budget: the double-buffered [chunk, Bb, T_x] int8 bits
+# block is the only large VMEM user (the packed-index output is
+# [Bb, chunk] f32), so the tile can take the whole serving batch:
+# bb*T_x = 32768 -> 4 MB bits blocks at chunk 128.
+NAT_IDX_MAX_ELEMS = 32768
+
+
+def mas_pallas_backtrack_nat_split(bits, t_x, t_y, *,
+                                   interpret: bool = False,
+                                   walk_block: int | None = None,
+                                   expand_block: int | None = None,
+                                   _chunk: int | None = None,
+                                   quad: bool = False):
+    """Split natural-output backtrack: a walk-only kernel emitting
+    packed per-frame token indices [B, T_yp] (whole-batch tile -> one
+    sequential pass over T_y), then a parallel expand kernel writing
+    the one-hot path at the copy floor. Same bit-exact walk algebra as
+    form="cmp" (_bt_cmp_walk); only the emission is restructured."""
+    T_yp, B, T_x = bits.shape
+    chunk = _chunk or (128 if T_yp % 128 == 0 else T_yp)
+    wb = walk_block or _nat_batch_block(B, T_x, NAT_IDX_MAX_ELEMS)
+    eb = expand_block or _nat_batch_block(B, T_x,
+                                          nat_bt_budget("cmp"))
+    if wb is None or B % wb or eb is None or B % eb:
+        raise ValueError(f"no usable batch tile for B = {B}")
+    tx_b = jnp.broadcast_to(t_x.astype(jnp.int32)[:, None], (B, T_x))
+    ty_b = jnp.broadcast_to(t_y.astype(jnp.int32)[:, None], (B, T_x))
+    len_spec = pl.BlockSpec((wb, T_x), lambda b, i: (b, 0),
+                            memory_space=pltpu.VMEM)
+    n = T_yp // chunk
+    idx = pl.pallas_call(
+        functools.partial(_backtrack_kernel_idx, quad=quad),
+        grid=(B // wb, n),
+        in_specs=[
+            len_spec, len_spec,
+            pl.BlockSpec((chunk, wb, T_x), lambda b, i: (n - 1 - i, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wb, chunk), lambda b, i: (b, n - 1 - i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T_yp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((wb, T_x), jnp.float32)],
+        interpret=interpret,
+    )(tx_b, ty_b, bits)
+    return pl.pallas_call(
+        _expand_kernel,
+        grid=(B // eb, n),
+        in_specs=[pl.BlockSpec((eb, chunk), lambda b, i: (b, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((eb, T_x, chunk), lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T_x, T_yp), jnp.float32),
+        interpret=interpret,
+    )(idx)
+
+
 def _backtrack_kernel_durs(tx_ref, ty_ref, bits_ref, dur_ref, ind_ref,
                            acc_ref):
     """Duration-form backtrack: walk the bits accumulating each token's

@@ -59,6 +59,23 @@ def main():
                 print(f"backtrack form={form:5s} bb={bb}: FAILED "
                       f"{type(e).__name__}: {str(e)[:160]}")
 
+    # split form: whole-batch walk kernel + parallel expand kernel
+    for wb in (None, 128, 64):
+        for quad in (False, True):
+            try:
+                fn = jax.jit(lambda b, x, y, wb=wb, quad=quad:
+                             mp.mas_pallas_backtrack_nat_split(
+                                 b, x, y, walk_block=wb, quad=quad))
+                out = np.asarray(
+                    jax.block_until_ready(fn(bits, t_x, t_y)))[:, :, :T_y]
+                ok = np.array_equal(out.astype(np.int32), want)
+                ms = measure_device_time(lambda: fn(bits, t_x, t_y)) * 1e3
+                print(f"backtrack split wb={wb} quad={quad}: {ms:.3f} ms "
+                      f"bitexact={ok}")
+            except Exception as e:  # noqa: BLE001
+                print(f"backtrack split wb={wb} quad={quad}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:160]}")
+
     # fused natural-in/natural-out single-launch route
     for bb in (None, 8, 16, 32):
         for quad in (False, True):

@@ -428,3 +428,37 @@ def test_duration_walk_matches_oracle_ragged():
         want = mas_single(v[i], int(t_x[i]), int(t_y[i]))
         np.testing.assert_array_equal(path[i], want)
         np.testing.assert_array_equal(d_np[i], want.sum(-1))
+
+
+def test_natural_output_backtrack_split():
+    """The split form (walk-only packed-index kernel + parallel expand
+    kernel) must match the cmp form bit-for-bit: same walk algebra,
+    restructured emission. Covers ragged lengths, an invalid item
+    (t_x > t_y -> zero rows), odd chunks, pair and quad walks, and walk
+    tiles both smaller than and equal to the whole batch."""
+    from aligner_tpu.ops.mas_pallas import (mas_pallas_backtrack_nat,
+                                            mas_pallas_backtrack_nat_split,
+                                            mas_pallas_bits_nat)
+
+    rng = np.random.default_rng(64)
+    B, T_x, T_y = 4, 8, 40
+    value = (rng.standard_normal((B, T_x, T_y)) * 3).astype(np.float32)
+    t_xs = jnp.asarray(rng.integers(1, T_x + 1, B), jnp.int32)
+    t_ys = jnp.asarray(np.maximum(np.asarray(t_xs),
+                                  rng.integers(T_y // 2, T_y + 1, B)),
+                       jnp.int32)
+    t_xs = t_xs.at[1].set(T_x)
+    t_ys = t_ys.at[1].set(2)
+    bits = mas_pallas_bits_nat(jnp.asarray(value), interpret=True,
+                               _chunk=8)
+    want = np.asarray(mas_pallas_backtrack_nat(
+        bits, t_xs, t_ys, interpret=True, batch_block=4,
+        _chunk=8))[:, :, :T_y].astype(np.int32)
+    assert not want[1].any()
+    for wb, eb, chunk in ((4, 2, 8), (2, 4, 8), (4, 4, 5)):
+        for quad in (False, True):
+            got = np.asarray(mas_pallas_backtrack_nat_split(
+                bits, t_xs, t_ys, interpret=True, walk_block=wb,
+                expand_block=eb, _chunk=chunk,
+                quad=quad))[:, :, :T_y].astype(np.int32)
+            np.testing.assert_array_equal(got, want)
