@@ -91,15 +91,37 @@ def token_boundary_f1(pred_durs, true_durs, *, pred_pauses=None,
             "matched_mae": float(np.mean(errs)) if errs else 0.0}
 
 
-def pause_detection(pred_pauses, true_pauses, *, min_frames: int = 2):
+def pause_detection(pred_pauses, true_pauses, *, min_frames: int = 2,
+                    gap_tolerance: int = 0):
     """Recall/precision of pause *slots* (which token gaps hold a pause
     of >= min_frames). Returns dict with recall, precision, and the MAE
-    of pause lengths over true pause slots."""
+    of pause lengths over true pause slots.
+
+    gap_tolerance > 0 relaxes slot matching to within that many token
+    gaps (greedy one-to-one nearest match). Motivation (measured, wav
+    pause campaign, docs/PERF.md): on real-audio corpora the mel
+    window smears silence evidence across the boundary token, so the
+    dominant error mode is a pause detected but attributed to the
+    adjacent gap — 272 of 337 seed-0 false positives sat within 2 gaps
+    of a true pause. The strict metric scores placement; tolerance 1
+    scores detection."""
     p = np.asarray(pred_pauses)
     t = np.asarray(true_pauses)
     true_on = t >= min_frames
     pred_on = p >= min_frames
-    tp = int((true_on & pred_on).sum())
+    if gap_tolerance == 0:
+        tp = int((true_on & pred_on).sum())
+    else:
+        true_idx = list(np.nonzero(true_on)[0])
+        tp = 0
+        for g in np.nonzero(pred_on)[0]:
+            if not true_idx:
+                break
+            d = np.abs(np.asarray(true_idx) - g)
+            j = int(np.argmin(d))
+            if d[j] <= gap_tolerance:
+                tp += 1
+                true_idx.pop(j)
     recall = tp / max(int(true_on.sum()), 1)
     precision = tp / max(int(pred_on.sum()), 1)
     mae = (float(np.abs(p[true_on] - t[true_on]).mean())

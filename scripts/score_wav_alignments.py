@@ -68,7 +68,11 @@ def main():
         exacts.append(float((pred_adj == want).mean()))
         maes.append(float(np.abs(pred_adj - want).mean()))
         if pred_pauses is not None and pauses.any():
-            pdet.append(pause_detection(pred_pauses, pauses))
+            d = pause_detection(pred_pauses, pauses)
+            g1 = pause_detection(pred_pauses, pauses, gap_tolerance=1)
+            d["precision_g1"], d["recall_g1"] = g1["precision"], \
+                g1["recall"]
+            pdet.append(d)
         n += 1
     out = {
         "corpus": args.corpus_dir, "n": n,
@@ -79,7 +83,7 @@ def main():
         "duration_mae": round(float(np.mean(maes)), 3),
     }
     if pdet:
-        for k in ("precision", "recall"):
+        for k in ("precision", "recall", "precision_g1", "recall_g1"):
             out[f"pause_{k}"] = round(float(np.nanmean(
                 [d[k] for d in pdet])), 3)
         out["pause_length_mae"] = round(float(np.nanmean(

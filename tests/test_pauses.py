@@ -169,3 +169,27 @@ def test_token_spans_and_pause_metrics():
     assert pd["precision"] == 1.0
     pd2 = pause_detection([0, 0, 0, 0], pauses)
     assert pd2["recall"] == 0.0
+
+
+def test_pause_detection_gap_tolerance():
+    """gap_tolerance relaxes slot matching to adjacent gaps with greedy
+    one-to-one pairing: a pause detected at the neighbouring gap counts
+    at tolerance 1 but not 0, and a single true pause cannot absorb two
+    predictions."""
+    from aligner_tpu.utils.eval import pause_detection
+
+    true = [0, 3, 0, 0, 4, 0]
+    # both pauses found, each one gap off
+    pred = [3, 0, 0, 4, 0, 0]
+    strict = pause_detection(pred, true)
+    assert strict["precision"] == 0.0 and strict["recall"] == 0.0
+    g1 = pause_detection(pred, true, gap_tolerance=1)
+    assert g1["precision"] == 1.0 and g1["recall"] == 1.0
+    # two predictions flanking ONE true pause: one-to-one matching
+    # credits only one of them
+    pred2 = [3, 0, 3, 0, 0, 0]
+    g1b = pause_detection(pred2, true, gap_tolerance=1)
+    assert g1b["precision"] == 0.5
+    assert g1b["recall"] == 0.5  # 1 of 2 true slots matched
+    # tolerance never changes length MAE (still over true slots)
+    assert g1["length_mae"] == strict["length_mae"]
