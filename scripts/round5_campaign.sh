@@ -18,8 +18,10 @@ ROWS=$WORK/rows.jsonl
 corpus () {  # seed [extra make_wav_corpus flags...]
   local seed=$1; shift
   local dir=$WORK/corpus_s$seed$CSUFFIX
+  # stdout is this function's return value — send the generator's
+  # progress line to stderr or it pollutes the captured path
   [ -f "$dir/metadata.csv" ] || \
-    python scripts/make_wav_corpus.py "$dir" --seed "$seed" "$@"
+    python scripts/make_wav_corpus.py "$dir" --seed "$seed" "$@" 1>&2
   echo "$dir"
 }
 
