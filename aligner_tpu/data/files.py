@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import numpy as np
 
-from ..ops.mel import MelConfig, log_mel_spectrogram
+from ..ops.mel import MelConfig, log_mel_bucketed
 from .text import CharTokenizer
 
 
@@ -59,8 +59,6 @@ def load_corpus(root: str, *, mel_config: MelConfig = MelConfig(),
                 ) -> Iterator[dict]:
     """Yields alignment items: tokens [t_x] int32, mel [t_y, n_mels] f32,
     utt_id, text. Mel extraction runs on the JAX default backend."""
-    import jax.numpy as jnp
-
     n = 0
     for utt_id, text in load_metadata(root):
         if limit is not None and n >= limit:
@@ -85,8 +83,10 @@ def load_corpus(root: str, *, mel_config: MelConfig = MelConfig(),
             raise ValueError(
                 f"utterance {utt_id!r}: transcript {text!r} tokenises "
                 "to zero tokens — fix or drop the metadata row")
-        mel = np.asarray(log_mel_spectrogram(jnp.asarray(wav)[None, :],
-                                             mel_config))[0]
+        # Bucketed extraction: bit-identical to the direct call but one
+        # device compile per 32-frame length quantum instead of one per
+        # distinct wav length (see ops/mel.py log_mel_bucketed).
+        mel = log_mel_bucketed(wav, mel_config)
         yield {"utt_id": utt_id, "text": text,
                "tokens": tokens, "mel": mel}
         n += 1

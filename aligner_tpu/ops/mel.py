@@ -148,3 +148,58 @@ def mel_lengths_from_wav_lengths(wav_lengths, cfg: MelConfig = MelConfig()):
     if cfg.center:
         return wav_lengths // cfg.hop_length + 1
     return 1 + (wav_lengths - cfg.n_fft) // cfg.hop_length
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_log_mel(cfg: MelConfig):
+    import jax
+
+    return jax.jit(lambda w: log_mel_spectrogram(w, cfg))
+
+
+def log_mel_bucketed(wav: np.ndarray, cfg: MelConfig = MelConfig(),
+                     bucket_frames: int = 32) -> np.ndarray:
+    """`log_mel_spectrogram(wav[None], cfg)[0]` for a 1-D host
+    waveform, with the number of distinct DEVICE shapes bounded to one
+    per `bucket_frames` quantum of output length. Values match the direct
+    path to f32 rounding (measured <=1e-4 relative on CPU: the jit
+    fuses the framing gather into the DFT dot, changing its vectorized
+    reduction blocking vs the eager per-op path; the same diff remains
+    with bucket_frames=1, i.e. fusion rounding, not the bucketing) —
+    far below anything the alignment quality metrics can see.
+
+    Why: eager per-utterance extraction (data/files.py load_corpus)
+    otherwise dispatches a fresh kernel chain for every distinct
+    waveform length; through a serialized remote compile service (the
+    tunnel TPU deployment) those per-length compiles dominate corpus
+    load time. Here the center/reflect padding is applied on the HOST
+    (pure sample copies — exact), the padded signal is zero-extended so
+    the frame count rounds up to a bucket multiple, the device computes
+    the bucketed framing + DFT/mel matmuls with the padding already in
+    the signal (center=False semantics), and the first `n_true` frames
+    are returned. Every retained frame's window reads only host-padded
+    samples — the zero tail feeds only the sliced-off frames — and the
+    matmuls are row-parallel, so retained window contents are unchanged.
+    `tests/test_prior_mel.py` asserts rounding-level equality vs the
+    direct path.
+    """
+    wav = np.asarray(wav, np.float32)
+    if wav.ndim != 1:
+        raise ValueError(f"expected 1-D waveform, got shape {wav.shape}")
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    if cfg.center:
+        pad = n_fft // 2
+        host = np.pad(wav, (pad, pad), mode="reflect")
+        n_true = len(wav) // hop + 1
+    else:
+        host = wav
+        n_true = 1 + (len(wav) - n_fft) // hop
+    n_bucket = -(-n_true // bucket_frames) * bucket_frames
+    # Exact device length for n_bucket frames: longer inputs would grow
+    # the on-device frame count past the bucket. Truncation is safe —
+    # the last retained frame ends at (n_true-1)*hop + n_fft <= need.
+    need = (n_bucket - 1) * hop + n_fft
+    host = np.pad(host, (0, max(0, need - len(host))))[:need]
+    cfg_flat = dataclasses.replace(cfg, center=False)
+    out = _jitted_log_mel(cfg_flat)(jnp.asarray(host)[None, :])
+    return np.asarray(out)[0, :n_true]

@@ -108,3 +108,32 @@ def test_htk_mel_scale_variant():
     fb_slaney = mel_filterbank(MelConfig(n_fft=256, hop_length=64,
                                          win_length=256, n_mels=40))
     assert not np.allclose(fb, fb_slaney)
+
+
+def test_log_mel_bucketed_matches_direct():
+    """The bucketed loader (host reflect-pad + zero-extend to a frame
+    bucket + slice) must match the direct per-length path to float32
+    rounding (measured <=1e-4 relative) — load_corpus relies on this to
+    bound remote compile count without (measurably) changing any
+    archived quality number. The slack is jit-vs-eager fusion changing
+    the DFT dot's vectorized reduction blocking: with bucket_frames=1
+    (identical shapes) the diff remains, so it is fusion rounding, not
+    the bucketing."""
+    from aligner_tpu.ops.mel import log_mel_bucketed
+
+    rng = np.random.default_rng(7)
+    for cfg in (MelConfig(), MelConfig(center=False),
+                MelConfig(n_fft=512, win_length=512, hop_length=128),
+                MelConfig(hop_length=128, win_length=512, n_fft=512,
+                          center=False)):
+        for t in (cfg.n_fft + 1, 4096, 4096 + 130, 8192 - 1,
+                  # exact bucket boundary: n_true == bucket multiple
+                  (32 - 1) * cfg.hop_length + (cfg.hop_length if
+                                               cfg.center else cfg.n_fft)):
+            wav = (rng.standard_normal(t) * 0.3).astype(np.float32)
+            want = np.asarray(log_mel_spectrogram(
+                jnp.asarray(wav)[None, :], cfg))[0]
+            got = log_mel_bucketed(wav, cfg)
+            assert got.shape == want.shape, (cfg, t)
+            np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-5,
+                                       err_msg=f"{cfg} {t}")
