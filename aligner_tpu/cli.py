@@ -265,6 +265,12 @@ def build_parser():
                    help="also write one Praat TextGrid per utterance")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--step", type=int, default=None,
+                   help="decode from this checkpoint step instead of "
+                        "the latest (the periodic saves every "
+                        "--checkpoint-every steps remain on disk — "
+                        "useful for picking a model family's "
+                        "convergence sweet spot post hoc)")
     # Model shape comes from the checkpoint's config.json (written at
     # train time); explicit flags are only needed for pre-config
     # checkpoints, and conflicting with config.json is an error.
@@ -971,7 +977,8 @@ def cmd_align(args):
     params0 = model.init(jax.random.PRNGKey(0), first["tokens"],
                          first["mel"], first["text_lengths"],
                          first["mel_lengths"])["params"]
-    params = restore_params(args.checkpoint_dir, params0)
+    params = restore_params(args.checkpoint_dir, params0,
+                            step=getattr(args, "step", None))
 
     family = type(model.config).__name__.removesuffix("Config")
     with_pauses = family == "OTA" and model.config.model_pauses

@@ -397,3 +397,29 @@ def test_train_mel_levers_persist_and_align_reuses(tmp_path, wav_corpus):
         assert sum(json.loads(next(
             l for l in open(out128)
             if json.loads(l)["utt_id"] == u))["durations"]) == n128[u]
+
+
+def test_align_step_picks_checkpoint(tmp_path, wav_corpus):
+    """`align --step N` decodes from the named saved step (and a
+    missing step fails loudly) — the post-hoc convergence-sweet-spot
+    knob used by the MoBo wav campaign."""
+    from aligner_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "durations.jsonl")
+    main(["train", wav_corpus, "--steps", "2", "--batch-size", "4",
+          "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24"])
+    main(["train", wav_corpus, "--steps", "4", "--batch-size", "4",
+          "--checkpoint-dir", ckpt, "--dim", "16", "--hidden", "24",
+          "--resume"])
+    steps = sorted(int(d) for d in os.listdir(ckpt) if d.isdigit())
+    assert steps == [2, 4]
+    main(["align", wav_corpus, "--checkpoint-dir", ckpt, "--output", out,
+          "--batch-size", "4", "--step", "2"])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    for r in recs:
+        assert sum(r["durations"]) == r["n_frames"]
+    with pytest.raises(Exception):
+        main(["align", wav_corpus, "--checkpoint-dir", ckpt,
+              "--output", out, "--batch-size", "4", "--step", "3"])
