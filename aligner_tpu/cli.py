@@ -285,9 +285,14 @@ def build_parser():
     # enter-cost collapses pause usage instead).
     p.add_argument("--pause-enter-cost", type=float, default=None,
                    help="override the per-pause-entered log-cost for "
-                        "this decode (negative suppresses spurious "
-                        "pauses — a pause-count precision knob; the "
-                        "checkpoint's trained value is the default)")
+                        "this decode — a measured recall/boundary-F1 "
+                        "trade-off on wav checkpoints (positive values "
+                        "find more true pauses and shorten lengths at "
+                        "a boundary-F1 cost; negative drops marginal "
+                        "pauses; a no-op at posterior-saturated "
+                        "synthetic checkpoints — design.md 'enter-cost "
+                        "knob on real audio'; the checkpoint's trained "
+                        "value is the default)")
     p.add_argument("--pause-bias", type=float, default=None,
                    help="override the per-frame pause occupancy "
                         "log-odds for this decode (negative shortens "

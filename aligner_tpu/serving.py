@@ -144,8 +144,11 @@ class SkipBatchAligner:
         #        pause durs [t_x_i + 1])
 
     enter_cost: optional log-cost per pause entered, a serving-time
-    precision knob (suppresses spurious pauses without retraining; see
-    ops.skip_dp's module docstring).
+    operating-point knob — measured on wav checkpoints as a monotone
+    pause-recall vs boundary-F1 trade (positive finds more true pauses
+    and shortens lengths; negative drops marginal ones; a no-op where
+    the skip posteriors are saturated — design.md "enter-cost knob on
+    real audio"; see also ops.skip_dp's module docstring).
     """
 
     def __init__(self, max_text: int = 128, max_mel: int = 1024,
